@@ -1,0 +1,110 @@
+"""Batched, jit-ready augmentation entry points.
+
+These are the on-device replacements for the reference's CPU DataLoader-worker
+augmentation (reference ``dataset.py:157-216`` pretrain pool,
+``dataset.py:487-536`` 3-view supervised stack, ``dataset.py:663-677``
+weak/strong TransformFix).  Loaders ship raw uint8 patches to the device; the
+whole augmentation stack runs inside the jitted train step, fused by XLA.
+
+Conventions: uint8 NHWC in, float32 NHWC in [0, 1] out (normalization is a
+separate final op so eval paths can share it).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ssl_cr_histo_tpu.ops import geometry, randaugment
+
+# Channel statistics used by the reference (plain /255 scaling — the
+# reference normalizes only by ToTensor; keep mean 0 / std 1 defaults).
+DEFAULT_MEAN = (0.0, 0.0, 0.0)
+DEFAULT_STD = (1.0, 1.0, 1.0)
+
+
+def to_float(img_u8: jnp.ndarray) -> jnp.ndarray:
+    return img_u8.astype(jnp.float32) / 255.0
+
+
+def augment_rsp_batch_v1(key: jax.Array, triplets_u8: jnp.ndarray) -> jnp.ndarray:
+    """v1 RSP pretraining augmentation: all 8 pool ops in a random order per
+    triplet, order shared across the 3 tiles.
+
+    triplets_u8: (B, 3, H, W, 3) uint8 -> (B, 3, H, W, 3) float32.
+    """
+    b = triplets_u8.shape[0]
+    imgs = to_float(triplets_u8)
+    keys = jax.random.split(key, b)
+    return jax.vmap(randaugment.pretrain_augment_v1)(imgs, keys)
+
+
+def augment_rsp_batch_v2(
+    key: jax.Array, triplets_u8: jnp.ndarray, n: int = 2, m: float = 3.0
+) -> jnp.ndarray:
+    """v2 RSP pretraining augmentation: RandAugment(n, m) drawn independently
+    per tile (Pretraining_v2/dataset.py:92-95)."""
+    b, t = triplets_u8.shape[0], triplets_u8.shape[1]
+    imgs = to_float(triplets_u8)
+    keys = jax.random.split(key, b * t).reshape(b, t, 2)
+
+    def per_tile(img, k):
+        return randaugment.randaugment_v2(img, k, n=n, m=m)
+
+    return jax.vmap(jax.vmap(per_tile))(imgs, keys)
+
+
+def _three_view(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """The supervised fine-tune 3-view stack (reference dataset.py:487-536):
+    [identity, rotate+centercrop, rotate+resize(S+20)+randomcrop], shuffled.
+    Rotations apply with p=0.5 (albumentations default)."""
+    s = img.shape[0]
+    k2a, k2p, k3a, k3p, k3c, kshuf = jax.random.split(key, 6)
+
+    def rot(im, ka, kp):
+        angle = jax.random.uniform(ka, (), minval=-90.0, maxval=90.0)
+        mat = geometry.rotation_matrix(angle, im.shape[0], im.shape[1])
+        out = geometry.warp_affine(im, mat, pad_mode="reflect101")
+        return jnp.where(jax.random.bernoulli(kp), out, im)
+
+    v1 = img
+    v2 = rot(img, k2a, k2p)
+    v3 = rot(img, k3a, k3p)
+    v3 = geometry.resize(v3, s + 20, s + 20)
+    v3 = geometry.random_crop(v3, k3c, s, s)
+    views = jnp.stack([v1, v2, v3])
+    perm = jax.random.permutation(kshuf, 3)
+    return views[perm]
+
+
+def augment_3view_batch(key: jax.Array, imgs_u8: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 -> (B, 3, H, W, 3) float32 shuffled 3-view stacks."""
+    b = imgs_u8.shape[0]
+    imgs = to_float(imgs_u8)
+    keys = jax.random.split(key, b)
+    return jax.vmap(_three_view)(imgs, keys)
+
+
+def transform_fix_batch(
+    key: jax.Array, imgs_u8: jnp.ndarray, n: int = 7, m: int = 10
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Weak/strong views for consistency training.
+
+    (B, H, W, 3) uint8 -> (weak, strong) float32 pairs.
+    """
+    b = imgs_u8.shape[0]
+    imgs = to_float(imgs_u8)
+    keys = jax.random.split(key, b)
+    fn = partial(randaugment.transform_fix, n=n, m=m)
+    weak, strong = jax.vmap(fn)(imgs, keys)
+    return weak, strong
+
+
+def normalize_batch(
+    imgs: jnp.ndarray, mean=DEFAULT_MEAN, std=DEFAULT_STD
+) -> jnp.ndarray:
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (imgs - mean) / std

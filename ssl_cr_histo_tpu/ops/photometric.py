@@ -1,0 +1,167 @@
+"""Photometric ops: elementwise/VPU-friendly JAX equivalents of the
+albumentations + PIL transforms used by the reference augmentation pools
+(reference ``models/randaugment.py:51-110`` for the v1 pool,
+``Pretraining_v2/models/randaugment.py:38-178`` for the v2 pool).
+
+All ops take float32 RGB images in [0, 1] shaped (..., H, W, 3) and traced
+scalar magnitudes, so one compiled program serves every random draw.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ssl_cr_histo_tpu.ops import color
+
+
+def _clip(img: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(img, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# albumentations-style ops (v1 pool)
+# ---------------------------------------------------------------------------
+
+
+def brightness_contrast(img: jnp.ndarray, brightness=0.0, contrast=0.0) -> jnp.ndarray:
+    """albumentations ``RandomBrightnessContrast`` semantics
+    (brightness_by_max=True): out = img * (1 + contrast) + brightness."""
+    return _clip(img * (1.0 + contrast) + brightness)
+
+
+def hsv_shift(img: jnp.ndarray, hue_shift=0.0, sat_shift=0.0, val_shift=0.0) -> jnp.ndarray:
+    """albumentations ``HueSaturationValue`` semantics on float images.
+
+    Shifts are in albumentations' uint8 units: hue in OpenCV H units (180 ==
+    full circle), sat/val in [0, 255] steps.
+    """
+    hsv = color.rgb2hsv(img)
+    h = (hsv[..., 0] + hue_shift / 180.0) % 1.0
+    s = jnp.clip(hsv[..., 1] + sat_shift / 255.0, 0.0, 1.0)
+    v = jnp.clip(hsv[..., 2] + val_shift / 255.0, 0.0, 1.0)
+    return color.hsv2rgb(jnp.stack([h, s, v], axis=-1))
+
+
+def gaussian_noise(img: jnp.ndarray, key: jax.Array, sigma) -> jnp.ndarray:
+    """Additive Gaussian noise; sigma is in [0, 1] units (reference uses
+    IAAAdditiveGaussianNoise with scale drawn in uint8 units / 255)."""
+    noise = jax.random.normal(key, img.shape, dtype=jnp.float32) * sigma
+    return _clip(img + noise)
+
+
+def _separable_filter(img: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise separable filter of a single (H, W, C) image with reflect101
+    borders (cv2.blur's default border mode)."""
+    ky = wy.shape[0]
+    kx = wx.shape[0]
+    py, px = ky // 2, kx // 2
+    padded = jnp.pad(img, ((py, py), (px, px), (0, 0)), mode="reflect")
+    c = img.shape[-1]
+    x = padded[None]  # NHWC
+    ker_y = jnp.tile(wy.reshape(ky, 1, 1, 1), (1, 1, 1, c)).astype(jnp.float32)
+    ker_x = jnp.tile(wx.reshape(1, kx, 1, 1), (1, 1, 1, c)).astype(jnp.float32)
+    dn = jax.lax.conv_dimension_numbers(x.shape, ker_y.shape, ("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(
+        x, ker_y, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+    )
+    x = jax.lax.conv_general_dilated(
+        x, ker_x, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+    )
+    return x[0]
+
+
+def box_blur(img: jnp.ndarray, ksize, max_ksize: int = 7) -> jnp.ndarray:
+    """albumentations ``Blur`` (cv2.blur) with a possibly-traced odd kernel
+    size ``ksize`` <= ``max_ksize``: a masked box kernel of static width keeps
+    the shape static under jit."""
+    ksize = jnp.asarray(ksize, jnp.float32)
+    c = max_ksize // 2
+    offs = jnp.abs(jnp.arange(max_ksize, dtype=jnp.float32) - c)
+    w = (offs <= (ksize - 1.0) / 2.0).astype(jnp.float32)
+    w = w / jnp.sum(w)
+    return _separable_filter(img, w, w)
+
+
+# ---------------------------------------------------------------------------
+# PIL ImageEnhance-style ops (v2 pool)
+# ---------------------------------------------------------------------------
+
+
+def pil_brightness(img: jnp.ndarray, factor) -> jnp.ndarray:
+    """PIL ``ImageEnhance.Brightness``: blend toward black."""
+    return _clip(img * factor)
+
+
+def pil_contrast(img: jnp.ndarray, factor) -> jnp.ndarray:
+    """PIL ``ImageEnhance.Contrast``: blend toward the mean luminance."""
+    # PIL rounds the mean of the uint8 L image to an int.
+    mean = jnp.round(jnp.mean(jnp.round(color.rgb_to_luminance(img) * 255.0))) / 255.0
+    return _clip(mean + factor * (img - mean))
+
+
+def pil_color(img: jnp.ndarray, factor) -> jnp.ndarray:
+    """PIL ``ImageEnhance.Color``: blend toward per-pixel grayscale."""
+    gray = jnp.round(color.rgb_to_luminance(img) * 255.0) / 255.0
+    return _clip(gray[..., None] + factor * (img - gray[..., None]))
+
+
+def pil_sharpness(img: jnp.ndarray, factor) -> jnp.ndarray:
+    """PIL ``ImageEnhance.Sharpness``: blend away from a SMOOTH-filtered copy
+    ([[1,1,1],[1,5,1],[1,1,1]]/13).  PIL leaves the 1-pixel border unfiltered;
+    we reproduce that."""
+    k = jnp.array([1.0, 1.0, 1.0])
+    # SMOOTH is not separable ([[1,1,1],[1,5,1],[1,1,1]]); do it as two passes:
+    # box 3x3 gives sum of 9; add 4x center then /13.
+    box = _separable_filter(img, k, k)
+    smooth = (box + 4.0 * img) / 13.0
+    out = _clip(smooth + factor * (img - smooth))
+    h, w = img.shape[-3], img.shape[-2]
+    ym = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)[..., None]
+    return jnp.where(ym, out, img)
+
+
+def autocontrast(img: jnp.ndarray) -> jnp.ndarray:
+    """PIL ``ImageOps.autocontrast`` with cutoff=0: per-channel min/max
+    stretch."""
+    lo = jnp.min(img, axis=(-3, -2), keepdims=True)
+    hi = jnp.max(img, axis=(-3, -2), keepdims=True)
+    scale = jnp.where(hi > lo, 1.0 / jnp.where(hi > lo, hi - lo, 1.0), 0.0)
+    out = jnp.where(hi > lo, (img - lo) * scale, img)
+    return _clip(out)
+
+
+def equalize(img: jnp.ndarray) -> jnp.ndarray:
+    """PIL ``ImageOps.equalize`` — exact integer LUT algorithm, per channel.
+
+    lut[i] = (step//2 + cumsum_exclusive(hist)[i]) // step with
+    step = (npixels - last_nonzero_bin) // 255; identity when step == 0.
+    """
+    h, w, c = img.shape[-3], img.shape[-2], img.shape[-1]
+    q = jnp.round(img * 255.0).astype(jnp.int32)  # (H, W, C)
+
+    def eq_channel(chan: jnp.ndarray) -> jnp.ndarray:
+        flat = chan.reshape(-1)
+        hist = jnp.zeros((256,), jnp.int32).at[flat].add(1)
+        nonzero = hist > 0
+        # count of the last nonzero bin
+        last_idx = 255 - jnp.argmax(nonzero[::-1])
+        last_count = hist[last_idx]
+        n_nonzero = jnp.sum(nonzero)
+        step = (flat.shape[0] - last_count) // 255
+        cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(hist)[:-1]])
+        lut = jnp.where(step > 0, (step // 2 + cum) // jnp.maximum(step, 1), jnp.arange(256))
+        lut = jnp.clip(lut, 0, 255)
+        use_identity = (step == 0) | (n_nonzero <= 1)
+        lut = jnp.where(use_identity, jnp.arange(256), lut)
+        return lut[flat].reshape(chan.shape)
+
+    out = jnp.stack([eq_channel(q[..., i]) for i in range(c)], axis=-1)
+    return out.astype(jnp.float32) / 255.0
+
+
+def normalize(img: jnp.ndarray, mean, std) -> jnp.ndarray:
+    """Channelwise (img - mean) / std — the final pre-network normalize."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (img - mean) / std

@@ -1,0 +1,9 @@
+"""Device-mesh parallelism: mesh construction, sharding helpers, and the
+pjit train/eval steps."""
+
+from ssl_cr_histo_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)

@@ -1,0 +1,51 @@
+"""Mesh + sharding utilities.
+
+The reference parallelizes with single-process ``torch.nn.DataParallel``
+(replicate module, scatter batch, gather outputs — reference
+``pretrain_BreastPathQ.py:231-233`` and friends).  The TPU-native treatment:
+a ``jax.sharding.Mesh`` with a ``data`` axis (and a ``model`` axis reserved
+for future tensor parallelism); batches are sharded over ``data``, params are
+replicated, and jit inserts the gradient all-reduce over ICI automatically.
+Multi-host scales the same mesh over DCN via ``jax.distributed.initialize``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices: Sequence[jax.Device] | None = None, model_parallel: int = 1) -> Mesh:
+    """Build a (data, model) mesh over the given (default: all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """device_put a pytree of host arrays with batch-dim sharding."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,70 @@
+"""Golden tests for color conversions against cv2 / colorsys / closed-form
+oracles (albumentations & skimage are not installed; cv2 and PIL are)."""
+
+import colorsys
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssl_cr_histo_tpu.ops import color
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_hsv_roundtrip(rng):
+    img = rng.random((32, 32, 3), dtype=np.float32)
+    out = np.asarray(color.hsv2rgb(color.rgb2hsv(jnp.asarray(img))))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_hsv_matches_colorsys(rng):
+    img = rng.random((8, 8, 3), dtype=np.float32)
+    got = np.asarray(color.rgb2hsv(jnp.asarray(img)))
+    for i in range(8):
+        for j in range(8):
+            h, s, v = colorsys.rgb_to_hsv(*img[i, j])
+            np.testing.assert_allclose(got[i, j], [h, s, v], atol=1e-5)
+
+
+def test_hed_matches_reference_formulation(rng):
+    """Compare against a direct numpy transcription of the legacy skimage
+    formulas the reference vendors (custom_hed_transform.py:24-40)."""
+    img = rng.random((16, 16, 3), dtype=np.float32)
+    hed = np.asarray(color.rgb2hed(jnp.asarray(img)))
+    expected = np.dot(-np.log(img + 2.0), np.linalg.inv(color.RGB_FROM_HED).astype(np.float32))
+    np.testing.assert_allclose(hed, expected, atol=1e-5)
+
+    rgb = np.asarray(color.hed2rgb(jnp.asarray(hed)))
+    back = np.exp(-np.dot(hed, color.RGB_FROM_HED))
+    expected_rgb = np.clip(((back - 2.0) + 1.0) / 2.0, 0.0, 1.0)
+    np.testing.assert_allclose(rgb, expected_rgb, atol=1e-5)
+
+
+def test_hed_zero_shift_matches_legacy_behavior(rng):
+    """The legacy skimage-0.15 formulation (which the reference pins,
+    requirements.txt scikit-image=0.15.0) is NOT round-trip lossless: a zero
+    stain shift maps rgb -> (rgb + 1) / 2.  We reproduce that exactly."""
+    img = rng.random((16, 16, 3), dtype=np.float32) * 0.8 + 0.1
+    out = np.asarray(color.hed2rgb(color.rgb2hed(jnp.asarray(img))))
+    np.testing.assert_allclose(out, (img + 1.0) / 2.0, atol=1e-4)
+
+
+def test_lab_matches_cv2(rng):
+    img = rng.random((16, 16, 3), dtype=np.float32)
+    got = np.asarray(color.rgb2lab(jnp.asarray(img)))
+    want = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)  # float32 path: L in [0,100]
+    # cv2 uses slightly different sRGB constants; 0.5 Lab-unit agreement is
+    # far below the foreground detector's threshold sensitivity.
+    np.testing.assert_allclose(got, want, atol=0.5)
+
+
+def test_luminance(rng):
+    img = rng.random((4, 4, 3), dtype=np.float32)
+    got = np.asarray(color.rgb_to_luminance(jnp.asarray(img)))
+    want = img @ np.array([0.299, 0.587, 0.114], np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-6)

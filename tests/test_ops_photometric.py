@@ -1,0 +1,119 @@
+"""Golden tests for photometric ops against PIL / cv2 oracles."""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image, ImageEnhance, ImageOps
+
+from ssl_cr_histo_tpu.ops import photometric
+
+
+@pytest.fixture
+def u8():
+    rng = np.random.default_rng(2)
+    return (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+
+
+def _f(u8):
+    return jnp.asarray(u8.astype(np.float32) / 255.0)
+
+
+def _cmp(got_f, want_u8, atol):
+    np.testing.assert_allclose(
+        np.asarray(got_f) * 255.0, want_u8.astype(np.float32), atol=atol
+    )
+
+
+def test_pil_brightness(u8):
+    for f in [0.3, 1.0, 1.7]:
+        want = np.asarray(ImageEnhance.Brightness(Image.fromarray(u8)).enhance(f))
+        _cmp(photometric.pil_brightness(_f(u8), f), want, atol=1.0)
+
+
+def test_pil_contrast(u8):
+    for f in [0.3, 1.0, 1.7]:
+        want = np.asarray(ImageEnhance.Contrast(Image.fromarray(u8)).enhance(f))
+        _cmp(photometric.pil_contrast(_f(u8), f), want, atol=1.5)
+
+
+def test_pil_color(u8):
+    for f in [0.3, 1.0, 1.7]:
+        want = np.asarray(ImageEnhance.Color(Image.fromarray(u8)).enhance(f))
+        _cmp(photometric.pil_color(_f(u8), f), want, atol=1.5)
+
+
+def test_pil_sharpness(u8):
+    for f in [0.2, 1.0, 1.8]:
+        want = np.asarray(ImageEnhance.Sharpness(Image.fromarray(u8)).enhance(f))
+        _cmp(photometric.pil_sharpness(_f(u8), f), want, atol=1.5)
+
+
+def test_autocontrast(u8):
+    want = np.asarray(ImageOps.autocontrast(Image.fromarray(u8)))
+    _cmp(photometric.autocontrast(_f(u8)), want, atol=1.5)
+
+
+def test_equalize_exact(u8):
+    want = np.asarray(ImageOps.equalize(Image.fromarray(u8)))
+    got = np.asarray(photometric.equalize(_f(u8))) * 255.0
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=0.5)
+
+
+def test_equalize_constant_image_identity():
+    const = np.full((16, 16, 3), 77, np.uint8)
+    got = np.asarray(photometric.equalize(_f(const))) * 255.0
+    np.testing.assert_allclose(got, const.astype(np.float32), atol=0.5)
+
+
+def test_box_blur_matches_cv2(u8):
+    img = u8.astype(np.float32) / 255.0
+    for k in [3, 5, 7]:
+        got = np.asarray(photometric.box_blur(jnp.asarray(img), k, max_ksize=7))
+        want = cv2.blur(img, (k, k), borderType=cv2.BORDER_REFLECT_101)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_box_blur_traced_ksize(u8):
+    img = _f(u8)
+    f = jax.jit(lambda im, k: photometric.box_blur(im, k, max_ksize=7))
+    got3 = np.asarray(f(img, 3))
+    want3 = cv2.blur(np.asarray(img), (3, 3), borderType=cv2.BORDER_REFLECT_101)
+    np.testing.assert_allclose(got3, want3, atol=1e-4)
+
+
+def test_brightness_contrast_formula(u8):
+    img = _f(u8)
+    got = np.asarray(photometric.brightness_contrast(img, brightness=0.1, contrast=0.2))
+    want = np.clip(np.asarray(img) * 1.2 + 0.1, 0, 1)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_gaussian_noise_statistics():
+    img = jnp.full((64, 64, 3), 0.5)
+    out = np.asarray(photometric.gaussian_noise(img, jax.random.PRNGKey(0), 0.05))
+    assert abs(out.mean() - 0.5) < 0.01
+    assert 0.03 < out.std() < 0.07
+
+
+def test_hsv_shift_identity(u8):
+    img = _f(u8)
+    out = np.asarray(photometric.hsv_shift(img, 0.0, 0.0, 0.0))
+    np.testing.assert_allclose(out, np.asarray(img), atol=1e-5)
+
+
+def test_hsv_shift_value(u8):
+    img = _f(u8)
+    out = np.asarray(photometric.hsv_shift(img, 0.0, 0.0, 25.5))
+    # V increased by 0.1 → max channel increases by ~0.1 where not clipped
+    v_in = np.asarray(img).max(-1)
+    v_out = out.max(-1)
+    mask = v_in < 0.85
+    np.testing.assert_allclose(v_out[mask], v_in[mask] + 0.1, atol=1e-3)
+
+
+def test_normalize():
+    img = jnp.ones((4, 4, 3)) * 0.5
+    out = np.asarray(photometric.normalize(img, (0.5, 0.5, 0.5), (0.25, 0.25, 0.25)))
+    np.testing.assert_allclose(out, 0.0, atol=1e-6)

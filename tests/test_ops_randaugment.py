@@ -1,0 +1,84 @@
+"""Property tests for the RandAugment policies and batch entry points."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssl_cr_histo_tpu.ops import batch, randaugment
+
+
+@pytest.fixture
+def img():
+    rng = np.random.default_rng(4)
+    return jnp.asarray(rng.random((32, 32, 3)).astype(np.float32))
+
+
+def test_randaugment_v1_shape_range_determinism(img):
+    key = jax.random.PRNGKey(0)
+    out1 = randaugment.randaugment_v1(img, key, n=2, m=10)
+    out2 = randaugment.randaugment_v1(img, key, n=2, m=10)
+    assert out1.shape == img.shape
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert float(out1.min()) >= 0.0 and float(out1.max()) <= 1.0
+    out3 = randaugment.randaugment_v1(img, jax.random.PRNGKey(1), n=2, m=10)
+    assert np.abs(np.asarray(out3) - np.asarray(out1)).max() > 1e-6
+
+
+def test_randaugment_v2_shape_range(img):
+    key = jax.random.PRNGKey(0)
+    out = randaugment.randaugment_v2(img, key, n=2, m=3.0)
+    assert out.shape == img.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_pretrain_augment_v1_triplet(img):
+    tiles = jnp.stack([img, img * 0.5, img * 0.25])
+    out = randaugment.pretrain_augment_v1(tiles, jax.random.PRNGKey(0))
+    assert out.shape == tiles.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_transform_fix_weak_is_flip_or_identity(img):
+    # weak view must be exactly img or hflip(img)
+    for seed in range(4):
+        weak, strong = randaugment.transform_fix(img, jax.random.PRNGKey(seed))
+        w = np.asarray(weak)
+        assert (
+            np.array_equal(w, np.asarray(img))
+            or np.array_equal(w, np.asarray(img)[:, ::-1])
+        )
+        assert strong.shape == img.shape
+
+
+def test_batch_entry_points():
+    rng = np.random.default_rng(5)
+    u8_trip = (rng.random((4, 3, 32, 32, 3)) * 255).astype(np.uint8)
+    u8_img = u8_trip[:, 0]
+    key = jax.random.PRNGKey(0)
+
+    out = batch.augment_rsp_batch_v1(key, u8_trip)
+    assert out.shape == (4, 3, 32, 32, 3) and out.dtype == jnp.float32
+
+    out = batch.augment_rsp_batch_v2(key, u8_trip, n=2, m=3.0)
+    assert out.shape == (4, 3, 32, 32, 3)
+
+    views = batch.augment_3view_batch(key, u8_img)
+    assert views.shape == (4, 3, 32, 32, 3)
+    # each stack contains the identity view somewhere (shuffled)
+    imgs_f = u8_img.astype(np.float32) / 255.0
+    v = np.asarray(views)
+    for b in range(4):
+        assert any(np.allclose(v[b, k], imgs_f[b], atol=1e-6) for k in range(3))
+
+    weak, strong = batch.transform_fix_batch(key, u8_img, n=2)
+    assert weak.shape == (4, 32, 32, 3) and strong.shape == (4, 32, 32, 3)
+
+    # per-sample independence: different rows get different augs
+    assert np.abs(np.asarray(strong[0]) - np.asarray(strong[1])).max() > 0
+
+
+def test_batch_normalize():
+    x = jnp.ones((2, 4, 4, 3)) * 0.5
+    out = batch.normalize_batch(x, (0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
