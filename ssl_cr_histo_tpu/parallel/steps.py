@@ -1,0 +1,329 @@
+"""pjit train/eval steps for the three SSL_CR_Histo stages.
+
+TPU-first design: the step function is one jitted program containing the
+on-device augmentation stack, the (triple-)ResNet forward/backward, the
+optimizer update, and the metric reductions.  Batches arrive sharded over the
+mesh ``data`` axis (see ``parallel.mesh``); jit partitions the program and
+inserts gradient/metric all-reduces over ICI automatically — the TPU-native
+equivalent of the reference's ``torch.nn.DataParallel`` scatter/gather
+(reference pretrain_BreastPathQ.py:231-233).
+
+Note on BatchNorm: batch statistics are computed over the GLOBAL batch (XLA
+reduces over the sharded axis), i.e. sync-BN; the reference's DataParallel
+computes per-replica stats.  Documented deviation — sync-BN is strictly more
+deterministic and matches single-device math.
+
+Reference call-stack parity:
+  pretrain step  — reference pretrain_BreastPathQ.py:27-92 (train())
+  finetune step  — reference eval_BreastPathQ_SSL.py:35-103
+  consistency    — reference eval_Kather_SSL_CR.py:37-127
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ssl_cr_histo_tpu.ops import batch as aug_batch
+from ssl_cr_histo_tpu.train.state import TrainState
+
+# The 6 resolution-sequence orderings and their class labels
+# (reference dataset.py:36-38: tuple order is [HR, LR1, LR2]).
+RSP_PERMUTATIONS = np.array(
+    [[0, 1, 2], [0, 2, 1], [1, 2, 0], [1, 0, 2], [2, 0, 1], [2, 1, 0]],
+    dtype=np.int32,
+)
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - target) ** 2)
+
+
+def permute_triplets(tiles: jnp.ndarray, perm_idx: jnp.ndarray) -> jnp.ndarray:
+    """Reorder each (3, H, W, 3) triplet by its sampled permutation index."""
+    perms = jnp.asarray(RSP_PERMUTATIONS)[perm_idx]  # (B, 3)
+    return jnp.take_along_axis(tiles, perms[:, :, None, None, None], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# RSP pretraining
+# ---------------------------------------------------------------------------
+
+
+def make_pretrain_step(
+    model,
+    classifier,
+    tx: optax.GradientTransformation,
+    augment: Optional[str] = "v1",
+    n_aug: int = 2,
+    m_aug: float = 3.0,
+    mean=aug_batch.DEFAULT_MEAN,
+    std=aug_batch.DEFAULT_STD,
+) -> Callable:
+    """Build the jitted RSP pretraining step.
+
+    batch: {'tiles': uint8 (B, 3, H, W, 3) in [HR, LR1, LR2] order}.
+    The 6-way sequence permutation is sampled on device per example (the
+    reference instead expands the dataset x6 eagerly — dataset.py:27-70; the
+    training signal is the same with one random ordering per triplet per
+    step, without 6x RAM).
+    Returns (state, metrics) with metrics {'loss', 'acc'}.
+    """
+
+    def loss_fn(params, batch_stats, tiles, labels):
+        variables = {"params": params["model"], "batch_stats": batch_stats}
+        feats, mutated = model.apply(
+            variables,
+            tiles[:, 0],
+            tiles[:, 1],
+            tiles[:, 2],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        logits = classifier.apply({"params": params["head"]}, feats)
+        loss = cross_entropy(logits, labels)
+        acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+        return loss, (mutated["batch_stats"], acc)
+
+    @jax.jit
+    def step(state: TrainState, tiles_u8: jnp.ndarray, key: jax.Array):
+        kperm, kaug = jax.random.split(key)
+        b = tiles_u8.shape[0]
+        if augment == "v1":
+            tiles = aug_batch.augment_rsp_batch_v1(kaug, tiles_u8)
+        elif augment == "v2":
+            tiles = aug_batch.augment_rsp_batch_v2(kaug, tiles_u8, n=n_aug, m=m_aug)
+        else:
+            tiles = aug_batch.to_float(tiles_u8)
+        tiles = aug_batch.normalize_batch(tiles, mean, std)
+        labels = jax.random.randint(kperm, (b,), 0, 6)
+        tiles = permute_triplets(tiles, labels)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (new_stats, acc)), grads = grad_fn(
+            state.params, state.batch_stats, tiles, labels
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        state = state.replace(
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return state, {"loss": loss, "acc": acc}
+
+    return step
+
+
+def make_pretrain_eval_step(model, classifier, mean=aug_batch.DEFAULT_MEAN, std=aug_batch.DEFAULT_STD):
+    """Validation step: no augmentation, running BN stats, host-fixed labels
+    come from the deterministic x6 expansion (reference validate(),
+    pretrain_BreastPathQ.py:95-148)."""
+
+    @jax.jit
+    def step(state: TrainState, tiles_u8: jnp.ndarray, labels: jnp.ndarray):
+        tiles = aug_batch.normalize_batch(aug_batch.to_float(tiles_u8), mean, std)
+        variables = {"params": state.params["model"], "batch_stats": state.batch_stats}
+        feats = model.apply(
+            variables, tiles[:, 0], tiles[:, 1], tiles[:, 2], train=False
+        )
+        logits = classifier.apply({"params": state.params["head"]}, feats)
+        loss = cross_entropy(logits, labels)
+        acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+        return {"loss": loss, "acc": acc, "logits": logits, "feats": feats}
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Supervised fine-tuning (SSL stage 2)
+# ---------------------------------------------------------------------------
+
+
+def make_finetune_step(
+    model,
+    head,
+    tx: optax.GradientTransformation,
+    task: str = "classification",
+    three_view: bool = True,
+    mean=aug_batch.DEFAULT_MEAN,
+    std=aug_batch.DEFAULT_STD,
+) -> Callable:
+    """Supervised fine-tune step.
+
+    batch: {'images': uint8 (B, H, W, 3), 'labels': (B,)}.
+    three_view=True applies the reference's 3-view augmentation stack on
+    device and flattens views into the batch dim with repeated labels
+    (reference dataset.py:487-536 + eval_BreastPathQ_SSL.py:58).
+    task: 'classification' (CE) or 'regression' (MSE, scalar head).
+    """
+
+    def loss_fn(params, batch_stats, images, labels):
+        variables = {"params": params["model"], "batch_stats": batch_stats}
+        feats, mutated = model.apply(
+            variables,
+            images,
+            train=True,
+            mutable=["batch_stats"],
+            method=model.encode_single,
+        )
+        out = head.apply({"params": params["head"]}, feats)
+        if task == "regression":
+            loss = mse(out.squeeze(-1), labels.astype(jnp.float32))
+            metric = loss
+        else:
+            loss = cross_entropy(out, labels)
+            metric = jnp.mean(jnp.argmax(out, -1) == labels)
+        return loss, (mutated["batch_stats"], metric)
+
+    @jax.jit
+    def step(state: TrainState, images_u8: jnp.ndarray, labels: jnp.ndarray, key: jax.Array):
+        if three_view:
+            views = aug_batch.augment_3view_batch(key, images_u8)  # (B,3,H,W,3)
+            b, v = views.shape[0], views.shape[1]
+            images = views.reshape(b * v, *views.shape[2:])
+            labels = jnp.repeat(labels, v, axis=0)
+        else:
+            images = aug_batch.to_float(images_u8)
+        images = aug_batch.normalize_batch(images, mean, std)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (new_stats, metric)), grads = grad_fn(
+            state.params, state.batch_stats, images, labels
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        state = state.replace(
+            params=params, batch_stats=new_stats, opt_state=opt_state, step=state.step + 1
+        )
+        return state, {"loss": loss, "metric": metric}
+
+    return step
+
+
+def make_forward_fn(model, head, mean=aug_batch.DEFAULT_MEAN, std=aug_batch.DEFAULT_STD):
+    """Eval-mode forward: uint8 images -> head outputs (logits/scores)."""
+
+    @jax.jit
+    def forward(state: TrainState, images_u8: jnp.ndarray):
+        images = aug_batch.normalize_batch(aug_batch.to_float(images_u8), mean, std)
+        variables = {"params": state.params["model"], "batch_stats": state.batch_stats}
+        feats = model.apply(variables, images, train=False, method=model.encode_single)
+        return head.apply({"params": state.params["head"]}, feats)
+
+    return forward
+
+
+# ---------------------------------------------------------------------------
+# Consistency training (SSL_CR stage 3)
+# ---------------------------------------------------------------------------
+
+
+def make_consistency_step(
+    model,
+    head,
+    tx: optax.GradientTransformation,
+    task: str = "classification",
+    lambda_u: float = 1.0,
+    n_aug: int = 7,
+    mean=aug_batch.DEFAULT_MEAN,
+    std=aug_batch.DEFAULT_STD,
+) -> Callable:
+    """FixMatch-style teacher/student step (reference eval_Kather_SSL_CR.py:
+    37-127).
+
+    Teacher forwards the weak view (no grad, eval-mode BN); the student
+    forwards labeled + strong views in ONE fused batch (reference :77-79).
+    Consistency loss: hard-pseudo-label CE for classification (:89-91), MSE
+    between weak/strong logits for regression
+    (eval_BreastPathQ_SSL_CR.py:93).  Teacher params live outside the
+    optimizer and are refreshed per epoch by the loop (deepcopy-equivalent
+    pytree copy — reference :582-583).
+    """
+
+    def loss_fn(params, batch_stats, teacher_params, teacher_stats,
+                x_l, y_l, weak, strong):
+        b_l = x_l.shape[0]
+        # Teacher on the weak view — frozen, eval-mode stats.
+        t_vars = {"params": teacher_params["model"], "batch_stats": teacher_stats}
+        t_feats = model.apply(t_vars, weak, train=False, method=model.encode_single)
+        logits_u_w = head.apply({"params": teacher_params["head"]}, t_feats)
+        logits_u_w = jax.lax.stop_gradient(logits_u_w)
+
+        # Student on cat(labeled, strong) — one fused forward.
+        inputs = jnp.concatenate([x_l, strong], axis=0)
+        s_vars = {"params": params["model"], "batch_stats": batch_stats}
+        feats, mutated = model.apply(
+            s_vars, inputs, train=True, mutable=["batch_stats"],
+            method=model.encode_single,
+        )
+        out = head.apply({"params": params["head"]}, feats)
+        out_l, logits_u_s = out[:b_l], out[b_l:]
+
+        if task == "regression":
+            sup = mse(out_l.squeeze(-1), y_l.astype(jnp.float32))
+            cons = mse(logits_u_w.squeeze(-1), logits_u_s.squeeze(-1))
+            metric = sup
+        else:
+            sup = cross_entropy(out_l, y_l)
+            pseudo = jnp.argmax(jax.nn.softmax(logits_u_w, -1), -1)
+            cons = cross_entropy(logits_u_s, pseudo)
+            metric = jnp.mean(jnp.argmax(out_l, -1) == y_l)
+        loss = sup + lambda_u * cons
+        return loss, (mutated["batch_stats"], sup, cons, metric)
+
+    @jax.jit
+    def step(
+        state: TrainState,
+        teacher_params,
+        teacher_stats,
+        x_l_u8: jnp.ndarray,
+        y_l: jnp.ndarray,
+        x_u_u8: jnp.ndarray,
+        key: jax.Array,
+    ):
+        kl, ku = jax.random.split(key)
+        weak, strong = aug_batch.transform_fix_batch(ku, x_u_u8, n=n_aug)
+        x_l = aug_batch.to_float(x_l_u8)
+        x_l = aug_batch.normalize_batch(x_l, mean, std)
+        weak = aug_batch.normalize_batch(weak, mean, std)
+        strong = aug_batch.normalize_batch(strong, mean, std)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (new_stats, sup, cons, metric)), grads = grad_fn(
+            state.params, state.batch_stats, teacher_params, teacher_stats,
+            x_l, y_l, weak, strong,
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        state = state.replace(
+            params=params, batch_stats=new_stats, opt_state=opt_state, step=state.step + 1
+        )
+        return state, {"loss": loss, "sup": sup, "cons": cons, "metric": metric}
+
+    return step
+
+
+def refresh_teacher(state: TrainState):
+    """Per-epoch teacher <- student refresh (reference deepcopy,
+    eval_Kather_SSL_CR.py:582-583): in JAX just copy the pytrees."""
+    return jax.tree_util.tree_map(jnp.copy, state.params), jax.tree_util.tree_map(
+        jnp.copy, state.batch_stats
+    )
+
+
+def ema_update(teacher_params, student_params, decay: float = 0.99):
+    """Optional EMA teacher (behind a flag; not reference semantics)."""
+    return jax.tree_util.tree_map(
+        lambda t, s: decay * t + (1.0 - decay) * s, teacher_params, student_params
+    )

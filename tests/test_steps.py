@@ -1,0 +1,181 @@
+"""Train-step tests: loss decreases, freezing holds, consistency mechanics,
+and 8-device data-parallel equivalence on the virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssl_cr_histo_tpu.models import Classifier, FinetuneHead, TripletNet
+from ssl_cr_histo_tpu.parallel import make_mesh, shard_batch
+from ssl_cr_histo_tpu.parallel import steps as S
+from ssl_cr_histo_tpu.train import optim
+from ssl_cr_histo_tpu.train.freeze import masked_optimizer
+from ssl_cr_histo_tpu.train.init import init_triplet_state, load_backbone
+
+IMG = 32
+
+
+@pytest.fixture(scope="module")
+def toy_batch():
+    rng = np.random.default_rng(0)
+    tiles = (rng.random((8, 3, IMG, IMG, 3)) * 255).astype(np.uint8)
+    return tiles
+
+
+def test_permute_triplets():
+    tiles = jnp.arange(2 * 3).reshape(2, 3, 1, 1, 1).astype(jnp.float32)
+    tiles = jnp.tile(tiles, (1, 1, 2, 2, 3))
+    out = S.permute_triplets(tiles, jnp.array([0, 5]))
+    np.testing.assert_allclose(np.asarray(out[0, :, 0, 0, 0]), [0, 1, 2])
+    np.testing.assert_allclose(np.asarray(out[1, :, 0, 0, 0]), [5, 4, 3])
+
+
+def test_pretrain_step_loss_decreases(toy_batch):
+    model = TripletNet("resnet18")
+    clf = Classifier(num_classes=6)
+    tx = optim.adam(1e-3)
+    state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=IMG)
+    step = S.make_pretrain_step(model, clf, tx, augment=None)
+    losses = []
+    for i in range(8):
+        # fixed key -> fixed permutation labels: the model can overfit
+        state, metrics = step(state, jnp.asarray(toy_batch), jax.random.PRNGKey(7))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_pretrain_step_with_augment_runs(toy_batch):
+    model = TripletNet("resnet18")
+    clf = Classifier(num_classes=6)
+    tx = optim.sgd_nesterov(0.01)
+    state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=IMG)
+    step = S.make_pretrain_step(model, clf, tx, augment="v1")
+    state, metrics = step(state, jnp.asarray(toy_batch), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_finetune_freezing_holds(toy_batch):
+    model = TripletNet("resnet18")
+    head = FinetuneHead(num_classes=9)
+    base_tx = optim.adam(1e-3)
+    key = jax.random.PRNGKey(0)
+    tmp = init_triplet_state(model, head, base_tx, key, image_size=IMG, triplet=False)
+    tx = masked_optimizer(base_tx, tmp.params, modules=60)
+    state = tmp.replace(opt_state=tx.init(tmp.params))
+    step = S.make_finetune_step(model, head, tx, task="classification")
+    imgs = jnp.asarray(toy_batch[:, 0])
+    labels = jnp.arange(8) % 9
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    state, metrics = step(state, imgs, labels, jax.random.PRNGKey(1))
+    after = state.params
+    # frozen: backbone unchanged
+    np.testing.assert_array_equal(
+        before["model"]["backbone"]["conv1"]["kernel"],
+        np.asarray(after["model"]["backbone"]["conv1"]["kernel"]),
+    )
+    # trainable: head changed
+    assert np.abs(
+        before["head"]["fc"]["kernel"] - np.asarray(after["head"]["fc"]["kernel"])
+    ).max() > 0
+
+
+def test_finetune_regression(toy_batch):
+    model = TripletNet("resnet18")
+    head = FinetuneHead(num_classes=1)
+    tx = optim.adam(1e-4)
+    state = init_triplet_state(model, head, tx, jax.random.PRNGKey(0), image_size=IMG, triplet=False)
+    step = S.make_finetune_step(model, head, tx, task="regression", three_view=False)
+    labels = jnp.linspace(0, 1, 8)
+    losses = []
+    for i in range(10):
+        state, m = step(state, jnp.asarray(toy_batch[:, 0]), labels, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[-3:]) < losses[0]
+
+
+def test_consistency_step_and_teacher_refresh(toy_batch):
+    model = TripletNet("resnet18")
+    head = FinetuneHead(num_classes=9)
+    tx = optim.adam(1e-3)
+    state = init_triplet_state(model, head, tx, jax.random.PRNGKey(0), image_size=IMG, triplet=False)
+    t_params, t_stats = S.refresh_teacher(state)
+    step = S.make_consistency_step(model, head, tx, task="classification", n_aug=2)
+    x_l = jnp.asarray(toy_batch[:4, 0])
+    y_l = jnp.arange(4) % 9
+    x_u = jnp.asarray(toy_batch[:, 0])
+    state, m = step(state, t_params, t_stats, x_l, y_l, x_u, jax.random.PRNGKey(0))
+    for k in ("loss", "sup", "cons"):
+        assert np.isfinite(float(m[k]))
+    # teacher unchanged by the student update
+    np.testing.assert_array_equal(
+        np.asarray(t_params["head"]["fc"]["kernel"]),
+        np.asarray(S.refresh_teacher(state.replace(params=t_params))[0]["head"]["fc"]["kernel"]),
+    )
+    # refresh copies the student
+    t2, _ = S.refresh_teacher(state)
+    np.testing.assert_array_equal(
+        np.asarray(t2["head"]["fc"]["kernel"]),
+        np.asarray(state.params["head"]["fc"]["kernel"]),
+    )
+
+
+def test_consistency_regression_variant(toy_batch):
+    model = TripletNet("resnet18")
+    head = FinetuneHead(num_classes=1)
+    tx = optim.adam(1e-3)
+    state = init_triplet_state(model, head, tx, jax.random.PRNGKey(0), image_size=IMG, triplet=False)
+    t_params, t_stats = S.refresh_teacher(state)
+    step = S.make_consistency_step(model, head, tx, task="regression", n_aug=2)
+    state, m = step(
+        state, t_params, t_stats,
+        jnp.asarray(toy_batch[:4, 0]), jnp.linspace(0, 1, 4),
+        jnp.asarray(toy_batch[:, 0]), jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_load_backbone_handoff():
+    model = TripletNet("resnet18")
+    clf = Classifier(num_classes=6)
+    head = FinetuneHead(num_classes=9)
+    tx = optim.adam(1e-3)
+    s1 = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=IMG)
+    s2 = init_triplet_state(model, head, tx, jax.random.PRNGKey(1), image_size=IMG, triplet=False)
+    s2b = load_backbone(s2, s1.params["model"], s1.batch_stats)
+    np.testing.assert_array_equal(
+        np.asarray(s2b.params["model"]["backbone"]["conv1"]["kernel"]),
+        np.asarray(s1.params["model"]["backbone"]["conv1"]["kernel"]),
+    )
+    # head kept from stage-2 init
+    assert s2b.params["head"]["fc"]["kernel"].shape == (768, 9)
+
+
+def test_data_parallel_equivalence(toy_batch):
+    """The same pretrain step on a sharded 8-device batch must match the
+    single-device result (data-parallel determinism)."""
+    model = TripletNet("resnet18")
+    clf = Classifier(num_classes=6)
+    tx = optim.adam(1e-3)
+    state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=IMG)
+    step = S.make_pretrain_step(model, clf, tx, augment=None)
+    tiles = jnp.asarray(toy_batch)
+    key = jax.random.PRNGKey(3)
+
+    # single device
+    s1, m1 = step(state, tiles, key)
+
+    # 8-device mesh with the batch sharded over `data`
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    sharded = shard_batch(mesh, tiles)
+    s8, m8 = step(state, sharded, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["head"]["fc2"]["kernel"]),
+        np.asarray(s8.params["head"]["fc2"]["kernel"]),
+        atol=1e-5,
+    )
