@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ssl_cr_histo_tpu.ops import geometry, randaugment
+from ssl_cr_histo_tpu.ops import fused, geometry, randaugment
 
 # Channel statistics used by the reference (plain /255 scaling — the
 # reference normalizes only by ToTensor; keep mean 0 / std 1 defaults).
@@ -29,29 +29,37 @@ def to_float(img_u8: jnp.ndarray) -> jnp.ndarray:
     return img_u8.astype(jnp.float32) / 255.0
 
 
-def augment_rsp_batch_v1(key: jax.Array, triplets_u8: jnp.ndarray) -> jnp.ndarray:
-    """v1 RSP pretraining augmentation: all 8 pool ops in a random order per
-    triplet, order shared across the 3 tiles.
+def augment_rsp_batch_v1(
+    key: jax.Array, triplets_u8: jnp.ndarray, mode: str = "fused"
+) -> jnp.ndarray:
+    """v1 RSP pretraining augmentation: all 8 pool ops per triplet.
+
+    mode='fused' (default): single-warp fast path (ops.fused); mode='exact':
+    op-by-op replay of the reference semantics, random order shared across
+    the 3 tiles (ops.randaugment).
 
     triplets_u8: (B, 3, H, W, 3) uint8 -> (B, 3, H, W, 3) float32.
     """
     b = triplets_u8.shape[0]
     imgs = to_float(triplets_u8)
     keys = jax.random.split(key, b)
-    return jax.vmap(randaugment.pretrain_augment_v1)(imgs, keys)
+    fn = fused.pretrain_augment_v1_fused if mode == "fused" else randaugment.pretrain_augment_v1
+    return jax.vmap(fn)(imgs, keys)
 
 
 def augment_rsp_batch_v2(
-    key: jax.Array, triplets_u8: jnp.ndarray, n: int = 2, m: float = 3.0
+    key: jax.Array, triplets_u8: jnp.ndarray, n: int = 2, m: float = 3.0,
+    mode: str = "fused",
 ) -> jnp.ndarray:
     """v2 RSP pretraining augmentation: RandAugment(n, m) drawn independently
     per tile (Pretraining_v2/dataset.py:92-95)."""
     b, t = triplets_u8.shape[0], triplets_u8.shape[1]
     imgs = to_float(triplets_u8)
     keys = jax.random.split(key, b * t).reshape(b, t, 2)
+    ra = fused.randaugment_v2_fused if mode == "fused" else randaugment.randaugment_v2
 
     def per_tile(img, k):
-        return randaugment.randaugment_v2(img, k, n=n, m=m)
+        return ra(img, k, n=n, m=m)
 
     return jax.vmap(jax.vmap(per_tile))(imgs, keys)
 
@@ -88,7 +96,8 @@ def augment_3view_batch(key: jax.Array, imgs_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def transform_fix_batch(
-    key: jax.Array, imgs_u8: jnp.ndarray, n: int = 7, m: int = 10
+    key: jax.Array, imgs_u8: jnp.ndarray, n: int = 7, m: int = 10,
+    mode: str = "fused",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Weak/strong views for consistency training.
 
@@ -97,7 +106,8 @@ def transform_fix_batch(
     b = imgs_u8.shape[0]
     imgs = to_float(imgs_u8)
     keys = jax.random.split(key, b)
-    fn = partial(randaugment.transform_fix, n=n, m=m)
+    base = fused.transform_fix_fused if mode == "fused" else randaugment.transform_fix
+    fn = partial(base, n=n, m=m)
     weak, strong = jax.vmap(fn)(imgs, keys)
     return weak, strong
 

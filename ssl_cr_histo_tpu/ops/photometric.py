@@ -142,7 +142,10 @@ def equalize(img: jnp.ndarray) -> jnp.ndarray:
 
     def eq_channel(chan: jnp.ndarray) -> jnp.ndarray:
         flat = chan.reshape(-1)
-        hist = jnp.zeros((256,), jnp.int32).at[flat].add(1)
+        # Histogram via a broadcast-compare reduction instead of scatter-add
+        # (scatter is a slow primitive on TPU; this lowers to VPU compares).
+        bins = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+        hist = jnp.sum(flat[None, :] == bins, axis=1, dtype=jnp.int32)
         nonzero = hist > 0
         # count of the last nonzero bin
         last_idx = 255 - jnp.argmax(nonzero[::-1])

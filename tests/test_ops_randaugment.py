@@ -82,3 +82,40 @@ def test_batch_normalize():
     x = jnp.ones((2, 4, 4, 3)) * 0.5
     out = batch.normalize_batch(x, (0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_fused_policies_shape_range_determinism(img):
+    from ssl_cr_histo_tpu.ops import fused
+
+    key = jax.random.PRNGKey(0)
+    tiles = jnp.stack([img, img, img])
+    out = fused.pretrain_augment_v1_fused(tiles, key)
+    assert out.shape == tiles.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    out2 = fused.pretrain_augment_v1_fused(tiles, key)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    ra = fused.randaugment_v1_fused(img, key, n=2, m=10)
+    assert ra.shape == img.shape and float(ra.min()) >= 0.0 and float(ra.max()) <= 1.0
+
+    ra2 = fused.randaugment_v2_fused(img, key, n=2, m=3.0)
+    assert ra2.shape == img.shape and float(ra2.min()) >= 0.0 and float(ra2.max()) <= 1.0
+
+    w, s = fused.transform_fix_fused(img, key, n=2)
+    wnp = np.asarray(w)
+    assert np.array_equal(wnp, np.asarray(img)) or np.array_equal(
+        wnp, np.asarray(img)[:, ::-1]
+    )
+
+
+def test_fused_batch_modes_match_shapes():
+    rng = np.random.default_rng(6)
+    u8 = (rng.random((2, 3, 32, 32, 3)) * 255).astype(np.uint8)
+    key = jax.random.PRNGKey(0)
+    for mode in ("fused", "exact"):
+        out = batch.augment_rsp_batch_v1(key, u8, mode=mode)
+        assert out.shape == (2, 3, 32, 32, 3)
+        out = batch.augment_rsp_batch_v2(key, u8, n=2, m=3.0, mode=mode)
+        assert out.shape == (2, 3, 32, 32, 3)
+        w, s = batch.transform_fix_batch(key, u8[:, 0], n=2, mode=mode)
+        assert w.shape == (2, 32, 32, 3) and s.shape == (2, 32, 32, 3)
