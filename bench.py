@@ -1,0 +1,82 @@
+"""Benchmark: end-to-end RSP pretraining step throughput on one TPU chip.
+
+Measures the FULL jitted train step at the reference config of record
+(BASELINE.md: 256x256 tiles, batch 64 triplets, v1 augmentation pool,
+SGD-Nesterov lr 0.01 + weight decay): on-device augmentation + permutation
+sampling + triple-ResNet18 forward/backward + optimizer update.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline compares against the reference pipeline's augmentation-bound
+throughput measured by tools/measure_reference_baseline.py (BASELINE_LOCAL.
+json — a faithful CPU transcription of the reference aug pool scaled by its
+8 DataLoader workers; the reference GPUs idle waiting on augmentation, so
+this is its end-to-end rate).  Falls back to a pinned value if absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+FALLBACK_BASELINE_PPS = 147.8  # measured 2026-08-16 on this host, see tools/
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssl_cr_histo_tpu.models import Classifier, TripletNet
+    from ssl_cr_histo_tpu.parallel import steps as S
+    from ssl_cr_histo_tpu.train import optim
+    from ssl_cr_histo_tpu.train.init import init_triplet_state
+
+    batch_size = 64
+    tile = 256
+    rng = np.random.default_rng(0)
+    tiles = (rng.random((batch_size, 3, tile, tile, 3)) * 255).astype(np.uint8)
+    tiles = jnp.asarray(tiles)
+
+    model = TripletNet("resnet18", dtype=jnp.bfloat16)
+    clf = Classifier(num_classes=6)
+    tx = optim.sgd_nesterov(0.01, momentum=0.9, weight_decay=1e-4)
+    state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=tile)
+    step = S.make_pretrain_step(model, clf, tx, augment="v1")
+
+    # compile + warmup
+    state, metrics = step(state, tiles, jax.random.PRNGKey(0))
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 20
+    t0 = time.time()
+    for i in range(iters):
+        state, metrics = step(state, tiles, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.time() - t0) / iters
+
+    patches_per_step = batch_size * 3
+    value = patches_per_step / dt
+
+    baseline = FALLBACK_BASELINE_PPS
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            baseline = float(json.load(f)["reference_aug_patches_per_sec"])
+
+    print(
+        json.dumps(
+            {
+                "metric": "rsp_pretrain_aug_patches_per_sec_per_chip",
+                "value": round(value, 1),
+                "unit": "patches/s/chip",
+                "vs_baseline": round(value / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

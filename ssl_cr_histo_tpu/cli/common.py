@@ -1,0 +1,80 @@
+"""Shared CLI plumbing: seeding, mesh setup, optimizer factory, task
+configs matching the reference's hyperparameters of record (BASELINE.md)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import random
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class TaskConfig:
+    """Per-dataset fine-tune/CR config of record."""
+
+    name: str
+    num_classes: int
+    task: str  # 'classification' | 'regression'
+    image_size: int
+    batch_size: int
+    optimizer: str
+    lr: float
+    milestones: tuple = (30, 60)
+    gamma: float = 0.1
+    epochs: int = 90
+
+
+TASKS = {
+    # eval_BreastPathQ_SSL.py:234-241: Adam 1e-4, batch 4, MSE head
+    "breastpathq": TaskConfig("breastpathq", 1, "regression", 256, 4, "adam", 1e-4),
+    # eval_Camelyon_SSL.py:205-211: SGD-Nesterov 5e-4, batch 16, 2-way CE
+    "camelyon16": TaskConfig("camelyon16", 2, "classification", 256, 16, "sgd", 5e-4),
+    # eval_Kather_SSL.py:231-238: Adam 1e-5, batch 64, 9-way CE
+    "kather": TaskConfig("kather", 9, "classification", 224, 64, "adam", 1e-5),
+}
+
+
+def seed_everything(seed: int) -> jax.Array:
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def make_optimizer(kind: str, lr_schedule, weight_decay: float = 0.0):
+    from ssl_cr_histo_tpu.train import optim
+
+    if kind == "sgd":
+        return optim.sgd_nesterov(lr_schedule, momentum=0.9, weight_decay=weight_decay or 1e-4)
+    if kind == "adam":
+        return optim.adam(lr_schedule, weight_decay=weight_decay)
+    raise ValueError(f"unknown optimizer {kind}")
+
+
+def add_common_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--model", default="resnet18", choices=["resnet18", "resnet50"])
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--save_dir", default="./runs")
+    parser.add_argument("--print_freq", type=int, default=100)
+    parser.add_argument("--bf16", action="store_true", default=True,
+                        help="bfloat16 backbone compute (params stay f32)")
+    parser.add_argument("--no-bf16", dest="bf16", action="store_false")
+    parser.add_argument(
+        "--aug_mode", default="fused", choices=["fused", "exact"],
+        help="fused = single-warp TPU fast path; exact = op-by-op reference semantics",
+    )
+
+
+def model_dtype(args):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if args.bf16 else jnp.float32
+
+
+def device_mesh(model_parallel: int = 1):
+    from ssl_cr_histo_tpu.parallel import make_mesh
+
+    return make_mesh(model_parallel=model_parallel)

@@ -1,0 +1,250 @@
+"""Supervised fine-tuning (SSL stage 2) CLI — one entry point for the three
+reference drivers (eval_BreastPathQ_SSL.py / eval_Camelyon_SSL.py /
+eval_Kather_SSL.py) via --task, with --mode fine-tuning|evaluation."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssl_cr_histo_tpu.cli.common import (
+    TASKS,
+    add_common_args,
+    make_optimizer,
+    model_dtype,
+    seed_everything,
+)
+from ssl_cr_histo_tpu.data import datasets as D
+from ssl_cr_histo_tpu.data.pipeline import batch_iterator, prefetch_to_device
+from ssl_cr_histo_tpu.eval import metrics as M
+from ssl_cr_histo_tpu.models import FinetuneHead, TripletNet
+from ssl_cr_histo_tpu.parallel import batch_sharding, make_mesh
+from ssl_cr_histo_tpu.parallel import steps as S
+from ssl_cr_histo_tpu.train import optim
+from ssl_cr_histo_tpu.train.checkpoint import (
+    load_torch_triplet_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from ssl_cr_histo_tpu.train.freeze import masked_optimizer
+from ssl_cr_histo_tpu.train.init import init_triplet_state, load_backbone
+from ssl_cr_histo_tpu.train.loop import BestTracker, CsvLogger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("SSL supervised fine-tuning (TPU)")
+    p.add_argument("--task", required=True, choices=list(TASKS))
+    p.add_argument("--mode", default="fine-tuning", choices=["fine-tuning", "evaluation"])
+    p.add_argument("--train_path", default="", help="train data dir (h5 dir / patches dir / class folders)")
+    p.add_argument("--json_path", default="", help="Camelyon16 annotation JSON dir")
+    p.add_argument("--test_path", default="", help="eval data dir")
+    p.add_argument("--test_path_b", default="", help="BreastPathQ second-rater dir")
+    p.add_argument("--model_path", default="", help="stage-1 pretraining checkpoint (native dir or torch .pt)")
+    p.add_argument("--finetune_ckpt", default="", help="checkpoint to evaluate (mode=evaluation)")
+    p.add_argument("--modules", type=int, default=60,
+                   help="freeze the first N torch-ordered tensors "
+                        "(0 full FT / 15 from-layer2 / 30 / 45 / 60 head-only / 64)")
+    p.add_argument("--labeled_train", type=float, default=1.0,
+                   help="labeled fraction: 0.1 / 0.25 / 0.5 / 1.0")
+    p.add_argument("--validation_split", type=float, default=0.1)
+    p.add_argument("--with_replacement", action="store_true",
+                   help="reproduce the reference's sampling-with-replacement defect")
+    p.add_argument("--num_epoch", type=int, default=90)
+    p.add_argument("--batch_size", type=int, default=0, help="0 = task default")
+    p.add_argument("--lr", type=float, default=0.0, help="0 = task default")
+    add_common_args(p)
+    return p.parse_args(argv)
+
+
+def load_train_data(args, cfg):
+    if cfg.name == "breastpathq":
+        ds = D.load_breastpathq_h5(args.train_path, cfg.image_size)
+    elif cfg.name == "camelyon16":
+        ds = D.load_camelyon16_patches(args.train_path, args.json_path, cfg.image_size)
+    else:
+        ds = D.load_kather_folder(args.train_path, cfg.image_size)
+    train, val = D.train_val_split(ds, args.validation_split, seed=args.seed)
+    if args.labeled_train < 1.0:
+        train = D.labeled_fraction(
+            train, args.labeled_train, seed=args.seed, with_replacement=args.with_replacement
+        )
+    return train, val
+
+
+def build_state(args, cfg, key):
+    model = TripletNet(args.model, dtype=model_dtype(args))
+    head = FinetuneHead(num_classes=cfg.num_classes)
+    lr = args.lr or cfg.lr
+    steps_pe = 1  # placeholder; milestones are in epochs, converted by caller
+    base_tx = make_optimizer(cfg.optimizer, lr)
+    tmp = init_triplet_state(model, head, base_tx, key, image_size=cfg.image_size, triplet=False)
+    return model, head, tmp
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = TASKS[args.task]
+    key = seed_everything(args.seed)
+    mesh = make_mesh()
+    sharding = batch_sharding(mesh)
+    batch_size = args.batch_size or cfg.batch_size
+
+    model, head, state = build_state(args, cfg, key)
+
+    if args.mode == "evaluation":
+        if not args.finetune_ckpt:
+            raise SystemExit("--finetune_ckpt required for evaluation")
+        state, _ = restore_checkpoint(args.finetune_ckpt, state)
+        forward = S.make_forward_fn(model, head)
+        evaluate(args, cfg, state, forward)
+        return
+
+    train, val = load_train_data(args, cfg)
+    print(f"==> {len(train)} train / {len(val)} val samples")
+
+    n_steps_per_epoch = max(len(train) // batch_size, 1)
+    lr = args.lr or cfg.lr
+    sched = optim.multistep_schedule(
+        lr, [m * n_steps_per_epoch for m in cfg.milestones], cfg.gamma
+    )
+    base_tx = make_optimizer(cfg.optimizer, sched)
+    tx = masked_optimizer(base_tx, state.params, args.modules, args.model)
+    state = state.replace(opt_state=tx.init(state.params))
+
+    # Stage handoff: load pretrained backbone (native or torch format).
+    if args.model_path:
+        if os.path.isdir(args.model_path):
+            donor = init_triplet_state(
+                model, __import__("ssl_cr_histo_tpu.models", fromlist=["Classifier"]).Classifier(6),
+                base_tx, key, image_size=cfg.image_size,
+            )
+            donor, _ = restore_checkpoint(args.model_path, donor)
+            state = load_backbone(state, donor.params["model"], donor.batch_stats)
+        else:
+            params, stats = load_torch_triplet_checkpoint(args.model_path)
+            state = load_backbone(state, params, {"backbone": stats["backbone"]})
+        print(f"==> loaded pretrained backbone from {args.model_path}")
+
+    step = S.make_finetune_step(model, head, tx, task=cfg.task)
+    val_forward = S.make_forward_fn(model, head)
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    log = CsvLogger(
+        os.path.join(args.save_dir, "fine_tuned_results.csv"),
+        "epoch, train_loss, val_metric",
+    )
+    best = BestTracker(args.save_dir, mode="min")
+
+    for epoch in range(1, args.num_epoch + 1):
+        t0 = time.time()
+        tl = M.AverageMeter()
+        key, ek = jax.random.split(key)
+        it = batch_iterator((train.images, train.labels), batch_size, seed=args.seed + epoch)
+        for imgs, labels in prefetch_to_device(it, sharding=sharding):
+            ek, sk = jax.random.split(ek)
+            state, m = step(state, imgs, jnp.asarray(labels), sk)
+            tl.update(float(m["loss"]), len(labels))
+
+        # validation
+        val_metric = validate(cfg, state, val, val_forward, batch_size)
+        log.append(epoch, tl.avg, val_metric)
+        print(
+            f"epoch {epoch}: train_loss {tl.avg:.4f} val "
+            f"{'mse' if cfg.task == 'regression' else 'err'} {val_metric:.4f} "
+            f"({time.time() - t0:.1f}s)"
+        )
+        meta = {"epoch": epoch, "args": vars(args), "val_metric": val_metric}
+        if best.update(val_metric, epoch, state, meta):
+            print(f"==> new best {val_metric:.4f}")
+    save_checkpoint(os.path.join(args.save_dir, "final"), state, {"epoch": args.num_epoch})
+
+
+def validate(cfg, state, val, forward, batch_size):
+    outs, labels = [], []
+    for imgs, lab in batch_iterator(
+        (val.images, val.labels), batch_size, shuffle=False, drop_last=False
+    ):
+        pad = batch_size - len(imgs)
+        if pad:
+            imgs = np.concatenate([imgs, np.zeros_like(imgs[:1].repeat(pad, 0))])
+        out = np.asarray(forward(state, jnp.asarray(imgs)))[: len(lab)]
+        outs.append(out)
+        labels.append(lab)
+    out = np.concatenate(outs)
+    lab = np.concatenate(labels)
+    if cfg.task == "regression":
+        return float(np.mean((out[:, 0] - lab) ** 2))
+    return 1.0 - M.accuracy(lab, out.argmax(-1))
+
+
+def evaluate(args, cfg, state, forward):
+    """Final test metrics per task (reference eval blocks)."""
+    os.makedirs(args.save_dir, exist_ok=True)
+    if cfg.name == "breastpathq":
+        ds_a, labels_b = D.load_breastpathq_eval_pair(
+            args.test_path, args.test_path_b or args.test_path, cfg.image_size
+        )
+        preds = predict_all(state, forward, ds_a.images, cfg)
+        report = {
+            "icc_MA": M.icc_two_raters(preds, ds_a.labels),
+            "icc_MB": M.icc_two_raters(preds, labels_b),
+            "icc_AB": M.icc_two_raters(ds_a.labels, labels_b),
+            "tau_MA": M.kendall_tau(preds, ds_a.labels),
+            "mse_MA": float(np.mean((preds - ds_a.labels) ** 2)),
+        }
+    else:
+        if cfg.name == "camelyon16":
+            ds = D.load_camelyon16_patches(args.test_path, args.json_path, cfg.image_size, split=None)
+        else:
+            ds = D.load_kather_folder(args.test_path, cfg.image_size)
+        logits = predict_all(state, forward, ds.images, cfg, raw=True)
+        preds = logits.argmax(-1)
+        cm = M.confusion_matrix(ds.labels, preds, cfg.num_classes)
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = probs / probs.sum(-1, keepdims=True)
+        report = {
+            "confusion": cm.tolist(),
+            "per_class": {k: v.tolist() for k, v in M.per_class_sens_spec_acc(cm).items()},
+            "weighted_f1": M.weighted_f1(ds.labels, preds),
+            "accuracy": M.accuracy(ds.labels, preds),
+        }
+        try:
+            if cfg.num_classes == 2:
+                report["auc"] = M.binary_auc(ds.labels, probs[:, 1])
+            else:
+                report["ovr_auc"] = M.multiclass_ovr_auc(ds.labels, probs)
+        except ValueError:
+            # AUC undefined when the eval split lacks some classes
+            report["ovr_auc" if cfg.num_classes > 2 else "auc"] = None
+    import json
+
+    out = os.path.join(args.save_dir, f"{cfg.name}_eval.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2, default=float)
+    print(json.dumps(report, indent=2, default=float))
+    print(f"==> wrote {out}")
+
+
+def predict_all(state, forward, images, cfg, raw=False, batch_size=64):
+    outs = []
+    n = len(images)
+    for i in range(0, n, batch_size):
+        chunk = images[i : i + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros_like(chunk[:1].repeat(pad, 0))])
+        out = np.asarray(forward(state, jnp.asarray(chunk)))[: min(batch_size, n - i)]
+        outs.append(out)
+    out = np.concatenate(outs)
+    if cfg.task == "regression" and not raw:
+        return out[:, 0]
+    return out
+
+
+if __name__ == "__main__":
+    main()

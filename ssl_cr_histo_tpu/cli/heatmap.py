@@ -1,0 +1,79 @@
+"""Camelyon16 WSI tumor-probability-map inference CLI (reference
+test_Camelyon16.py).  Pairs sorted WSI files with sorted tissue-mask .npy
+files and writes npy + PNG heatmap artifacts per slide.
+
+Fixes the reference's classifier-loading defect (test_Camelyon16.py:126-127
+leaves the head randomly initialized): here the head weights load from the
+fine-tuned checkpoint."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ssl_cr_histo_tpu.cli.common import add_common_args, model_dtype, seed_everything
+from ssl_cr_histo_tpu.data.wsi import open_slide
+from ssl_cr_histo_tpu.eval.heatmap import compute_probs_map, save_heatmap_artifacts
+from ssl_cr_histo_tpu.models import FinetuneHead, TripletNet
+from ssl_cr_histo_tpu.parallel import steps as S
+from ssl_cr_histo_tpu.train import optim
+from ssl_cr_histo_tpu.train.checkpoint import restore_checkpoint
+from ssl_cr_histo_tpu.train.init import init_triplet_state
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("Camelyon16 WSI heatmap inference (TPU)")
+    p.add_argument("--test_image_pth", required=True, help="dir of WSIs (.tif/.svs/.npy)")
+    p.add_argument("--test_mask_pth", required=True, help="dir of tissue masks (.npy)")
+    p.add_argument("--probs_map_path", required=True, help="output dir")
+    p.add_argument("--finetune_ckpt", required=True, help="fine-tuned checkpoint dir")
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=256)
+    add_common_args(p)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    seed_everything(args.seed)
+
+    model = TripletNet(args.model, dtype=model_dtype(args))
+    head = FinetuneHead(num_classes=2)
+    tx = optim.adam(1e-4)
+    state = init_triplet_state(
+        model, head, tx, __import__("jax").random.PRNGKey(0),
+        image_size=args.image_size, triplet=False,
+    )
+    state, _ = restore_checkpoint(args.finetune_ckpt, state)
+    forward = S.make_forward_fn(model, head)
+
+    wsipaths, maskpaths = [], []
+    for ext in ("tif", "svs", "npy"):
+        wsipaths += glob.glob(os.path.join(args.test_image_pth, f"*.{ext}"))
+    maskpaths = glob.glob(os.path.join(args.test_mask_pth, "*.npy"))
+    wsipaths, maskpaths = sorted(wsipaths), sorted(maskpaths)
+    if len(wsipaths) != len(maskpaths):
+        raise SystemExit(f"{len(wsipaths)} WSIs vs {len(maskpaths)} masks")
+
+    for wsi_pth, mask_pth in zip(wsipaths, maskpaths):
+        wsi_id = os.path.splitext(os.path.basename(wsi_pth))[0]
+        reader = open_slide(wsi_pth)
+        mask = np.load(mask_pth)
+        print(f"==> {wsi_id}: {int(mask.sum())} tissue positions")
+        probs_map = compute_probs_map(
+            reader,
+            mask,
+            lambda patches: forward(state, jnp.asarray(patches)),
+            image_size=args.image_size,
+            batch_size=args.batch_size,
+        )
+        save_heatmap_artifacts(probs_map, args.probs_map_path, wsi_id)
+        print(f"==> wrote {args.probs_map_path}/{wsi_id}*")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""RSP self-supervised pretraining CLI.
+
+Covers the reference's three pretraining drivers with one entry point:
+  * pretrain_BreastPathQ.py  -> --variant v1 --tile_stride 128
+  * pretrain_Camelyon16.py   -> --variant v1 --tile_stride 512 (and the
+                                best-val gate after epoch 80)
+  * Pretraining_v2/pretrain_RSP.py -> --variant v2 --tile_stride 768
+
+Config of record (reference pretrain_BreastPathQ.py:151-196, :245-247):
+SGD-Nesterov lr 0.01 wd 1e-4 + Lookahead(5, 0.5) stepped per epoch,
+250 epochs, batch 64, 256x256 tiles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssl_cr_histo_tpu.cli.common import add_common_args, model_dtype, seed_everything
+from ssl_cr_histo_tpu.data.pipeline import prefetch_to_device
+from ssl_cr_histo_tpu.data.sampler import RSPTripletSampler
+from ssl_cr_histo_tpu.eval.metrics import AverageMeter
+from ssl_cr_histo_tpu.models import Classifier, TripletNet
+from ssl_cr_histo_tpu.parallel import batch_sharding, make_mesh
+from ssl_cr_histo_tpu.parallel import steps as S
+from ssl_cr_histo_tpu.train import optim
+from ssl_cr_histo_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from ssl_cr_histo_tpu.train.init import init_triplet_state
+from ssl_cr_histo_tpu.train.loop import BestTracker, CsvLogger, lookahead_epoch
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("RSP pretraining (TPU)")
+    p.add_argument("--train_image_pth", required=True, help="directory of WSIs (.tif/.svs/.npy)")
+    p.add_argument("--variant", default="v1", choices=["v1", "v2"])
+    p.add_argument("--tile_h", type=int, default=256)
+    p.add_argument("--tile_w", type=int, default=256)
+    p.add_argument("--tile_stride", type=int, default=128,
+                   help="128 BreastPathQ / 512 Camelyon16 / 768 v2 (BASELINE.md)")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--num_epoch", type=int, default=250)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--la_steps", type=int, default=5)
+    p.add_argument("--la_alpha", type=float, default=0.5)
+    p.add_argument("--save_freq", type=int, default=10)
+    p.add_argument("--best_gate_epoch", type=int, default=0,
+                   help="only save best-val after this epoch (80 for Camelyon16, "
+                        "reference pretrain_Camelyon16.py:307)")
+    p.add_argument("--validation_size", type=int, default=3000,
+                   help="triplets held out for validation (3000 BPQ / 10000 Cam16)")
+    p.add_argument("--NAug", type=int, default=2, help="v2 RandAugment n")
+    p.add_argument("--Magn", type=float, default=3.0, help="v2 RandAugment m")
+    p.add_argument("--resume", default="")
+    p.add_argument("--steps_per_epoch", type=int, default=0,
+                   help="0 = full pass over the sampled index")
+    add_common_args(p)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    key = seed_everything(args.seed)
+    mesh = make_mesh()
+    sharding = batch_sharding(mesh)
+
+    sampler = RSPTripletSampler(
+        tile=args.tile_h,
+        stride=args.tile_stride,
+        geometry=args.variant,
+    )
+    print(f"==> indexing WSIs under {args.train_image_pth} ...")
+    indices = sampler.index_directory(args.train_image_pth)
+    n_total = sum(len(i.coords) for i in indices)
+    if n_total == 0:
+        raise SystemExit("no foreground tiles found")
+    print(f"==> {n_total} triplet positions across {len(indices)} slides")
+
+    # Held-out validation positions (reference random_split holdout,
+    # pretrain_BreastPathQ.py:209).  We hold out whole positions.
+    rng = np.random.default_rng(args.seed)
+    flat = [(i, j) for i, idx in enumerate(indices) for j in range(len(idx.coords))]
+    order = rng.permutation(len(flat))
+    n_val = min(args.validation_size, len(flat) // 5)
+    val_set = set(order[:n_val].tolist())
+    train_indices, val_positions = [], []
+    flat_pos = {t: k for k, t in enumerate(flat)}
+    from ssl_cr_histo_tpu.data.sampler import TripletIndex
+
+    for slide_i, idx in enumerate(indices):
+        tr_rows = [j for j in range(len(idx.coords)) if flat_pos[(slide_i, j)] not in val_set]
+        va_rows = [j for j in range(len(idx.coords)) if flat_pos[(slide_i, j)] in val_set]
+        train_indices.append(TripletIndex(idx.slide_path, idx.coords[tr_rows]))
+        if va_rows:
+            val_positions.append(TripletIndex(idx.slide_path, idx.coords[va_rows]))
+
+    model = TripletNet(args.model, dtype=model_dtype(args))
+    clf = Classifier(num_classes=6)
+    tx = optim.sgd_nesterov(args.lr, momentum=0.9, weight_decay=args.weight_decay)
+    state = init_triplet_state(
+        model, clf, tx, key, image_size=args.tile_h, lookahead_slow=True
+    )
+    step = S.make_pretrain_step(
+        model, clf, tx,
+        augment=args.variant, n_aug=args.NAug, m_aug=args.Magn, aug_mode=args.aug_mode,
+    )
+    eval_step = S.make_pretrain_eval_step(model, clf)
+
+    start_epoch = 1
+    if args.resume:
+        state, meta = restore_checkpoint(args.resume, state)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        print(f"==> resumed from {args.resume} (epoch {start_epoch - 1})")
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    log = CsvLogger(
+        os.path.join(args.save_dir, "train_results.csv"),
+        "epoch, train_loss, train_acc, val_loss, val_acc",
+    )
+    best = BestTracker(args.save_dir, mode="min", gate_epoch=args.best_gate_epoch)
+
+    readers: dict = {}
+    for epoch in range(start_epoch, args.num_epoch + 1):
+        t0 = time.time()
+        train_loss, train_acc = AverageMeter(), AverageMeter()
+        batches = sampler.iter_batches(
+            train_indices, args.batch_size, seed=args.seed + epoch, readers=readers
+        )
+        key, ek = jax.random.split(key)
+        for bi, tiles in enumerate(prefetch_to_device(batches, sharding=sharding)):
+            if args.steps_per_epoch and bi >= args.steps_per_epoch:
+                break
+            ek, sk = jax.random.split(ek)
+            state, m = step(state, tiles, sk)
+            train_loss.update(float(m["loss"]), tiles.shape[0])
+            train_acc.update(float(m["acc"]), tiles.shape[0])
+            if (bi + 1) % args.print_freq == 0:
+                print(
+                    f"Train: [{epoch}][{bi + 1}] loss {train_loss.val:.3f} "
+                    f"({train_loss.avg:.3f}) acc {train_acc.avg:.3f}"
+                )
+        print(f"Epoch time: {time.time() - t0:.2f} s.")
+
+        # validation: deterministic x6 permutation expansion per triplet
+        val_loss, val_acc = AverageMeter(), AverageMeter()
+        vb = sampler.iter_batches(
+            val_positions, args.batch_size, seed=0, drop_last=False, readers=readers
+        )
+        for tiles in prefetch_to_device(vb, sharding=sharding):
+            b = tiles.shape[0]
+            labels = np.tile(np.arange(6), (b + 5) // 6)[:b].astype(np.int32)
+            tiles_p = S.permute_triplets(jnp.asarray(tiles), jnp.asarray(labels))
+            m = eval_step(state, tiles_p, jnp.asarray(labels))
+            val_loss.update(float(m["loss"]), b)
+            val_acc.update(float(m["acc"]), b)
+
+        log.append(epoch + 1, train_loss.avg, train_acc.avg, val_loss.avg, val_acc.avg)
+        state = lookahead_epoch(state, args.la_steps, args.la_alpha)
+
+        meta = {"epoch": epoch, "args": vars(args), "train_loss": train_loss.avg,
+                "val_loss": val_loss.avg}
+        if epoch % args.save_freq == 0:
+            save_checkpoint(os.path.join(args.save_dir, f"ckpt_{epoch}"), state, meta)
+        if best.update(val_loss.avg, epoch, state, meta):
+            print(f"==> new best val loss {val_loss.avg:.4f}")
+
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,217 @@
+"""Dataset readers for the three downstream tasks.
+
+Host-side readers return raw uint8 arrays + labels; ALL augmentation happens
+on device inside the train steps (see parallel/steps.py) — the inverse of
+the reference's CPU-worker design.
+
+Readers mirror the reference's data contracts:
+  * BreastPathQ  — .h5 files with data['x'] float CHW in [0,1] and data['y']
+                   cellularity scores (reference dataset.py:453-536,
+                   :539-599, :603-659)
+  * Camelyon16   — pre-sampled '{idx}.png' patches indexed by list.txt lines
+                   'pid,x_center,y_center'; labels from point-in-polygon
+                   tests against per-WSI JSON annotations; fine-tune split
+                   rule Tumor_>25 / Normal_>35 (reference dataset.py:685-939)
+  * Kather       — folder-per-class .tif patches, 9 classes ADI..TUM
+                   (reference dataset.py:1002-1241)
+
+Labeled-fraction subsampling defaults to sampling WITHOUT replacement; the
+reference uses np.random.choice with replacement (a documented defect,
+eval_BreastPathQ_SSL.py:299) — pass with_replacement=True for strict parity.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from ssl_cr_histo_tpu.data.annotations import Annotation
+
+KATHER_CLASSES = ("ADI", "BACK", "DEB", "LYM", "MUC", "MUS", "NORM", "STR", "TUM")
+KATHER_LABELS: Dict[str, int] = {c: i for i, c in enumerate(KATHER_CLASSES)}
+
+
+@dataclass
+class ArrayDataset:
+    """Materialized (images uint8 NHWC, labels) pair with simple ops."""
+
+    images: np.ndarray
+    labels: np.ndarray
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def subset(self, idx) -> "ArrayDataset":
+        return ArrayDataset(self.images[idx], self.labels[idx])
+
+
+def _resize(img: np.ndarray, size: int) -> np.ndarray:
+    if img.shape[0] == size and img.shape[1] == size:
+        return img
+    return cv2.resize(img, (size, size), interpolation=cv2.INTER_CUBIC)
+
+
+# ---------------------------------------------------------------------------
+# BreastPathQ (.h5, regression)
+# ---------------------------------------------------------------------------
+
+
+def load_breastpathq_h5(dataset_path: str, image_size: int = 256) -> ArrayDataset:
+    """Read every .h5 under dataset_path: data['x'] float CHW [0,1] ->
+    uint8 HWC resized to image_size; data['y'] float scores."""
+    import h5py
+
+    images: List[np.ndarray] = []
+    labels: List[float] = []
+    for path in sorted(glob.glob(os.path.join(dataset_path, "*.h5"))):
+        with h5py.File(path, "r") as f:
+            x = np.asarray(f["x"])
+            y = np.asarray(f["y"]).reshape(len(x), -1)[:, 0]
+        for patch, score in zip(x, y):
+            img = (np.transpose(patch, (1, 2, 0)) * 255).astype(np.uint8)
+            images.append(_resize(img, image_size))
+            labels.append(float(score))
+    return ArrayDataset(np.stack(images), np.asarray(labels, np.float32))
+
+
+def load_breastpathq_eval_pair(
+    dir_a: str, dir_b: str, image_size: int = 256
+) -> Tuple[ArrayDataset, np.ndarray]:
+    """Two-rater eval set (reference dataset.py:539-599: TestSetSherine +
+    TestSetSharon hold the same patches scored by two raters).  Returns the
+    dataset labeled by rater A plus rater B's label vector."""
+    a = load_breastpathq_h5(dir_a, image_size)
+    b = load_breastpathq_h5(dir_b, image_size)
+    if len(a) != len(b):
+        raise ValueError(f"rater sets differ in size: {len(a)} vs {len(b)}")
+    return a, b.labels
+
+
+# ---------------------------------------------------------------------------
+# Camelyon16 (pre-sampled patches + annotations, binary)
+# ---------------------------------------------------------------------------
+
+
+def _camelyon_list(data_path: str) -> List[Tuple[int, str, int, int]]:
+    """Parse list.txt -> [(line_idx, pid, x, y)].  Patch files are named by
+    LINE INDEX ('{idx}.png' — reference dataset.py:737), so the pairing
+    depends on list order; we preserve it."""
+    out = []
+    with open(os.path.join(data_path, "list.txt")) as f:
+        for i, line in enumerate(f):
+            parts = line.strip("\n").split(",")
+            if len(parts) < 3:
+                continue
+            pid, x, y = parts[0], int(parts[1]), int(parts[2])
+            out.append((i, pid, x, y))
+    return out
+
+
+def _load_annotations(json_path: str) -> Dict[str, Annotation]:
+    anns = {}
+    for p in os.listdir(json_path):
+        if p.endswith(".json"):
+            pid = p[: -len(".json")]
+            anns[pid] = Annotation().from_json(os.path.join(json_path, p))
+    return anns
+
+
+def _finetune_split(pid: str) -> bool:
+    """Reference hard-coded rule (dataset.py:716-727): fine-tune uses
+    Tumor_>25 and Normal_>35; the rest pretrains."""
+    head, _, num = pid.partition("_")
+    if not num.isdigit():
+        return False
+    if head == "Tumor":
+        return int(num) > 25
+    if head == "Normal":
+        return int(num) > 35
+    return False
+
+
+def load_camelyon16_patches(
+    data_path: str,
+    json_path: str,
+    image_size: int = 256,
+    split: Optional[str] = "finetune",
+) -> ArrayDataset:
+    """Load '{idx}.png' patches with point-in-polygon labels.
+
+    split: 'finetune' applies the Tumor_>25/Normal_>35 rule; 'pretrain' the
+    complement; None keeps everything.
+    """
+    anns = _load_annotations(json_path)
+    entries = _camelyon_list(data_path)
+    images, labels = [], []
+    for idx, pid, x, y in entries:
+        keep = (
+            split is None
+            or (split == "finetune" and _finetune_split(pid))
+            or (split == "pretrain" and not _finetune_split(pid))
+        )
+        if not keep:
+            continue
+        img_path = os.path.join(data_path, f"{idx}.png")
+        img = cv2.cvtColor(cv2.imread(img_path, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+        images.append(_resize(img, image_size))
+        ann = anns.get(pid)
+        labels.append(1 if (ann is not None and ann.inside_polygons((x, y), True)) else 0)
+    return ArrayDataset(np.stack(images), np.asarray(labels, np.int32))
+
+
+# ---------------------------------------------------------------------------
+# Kather / NCT-CRC-HE-100K (folder-per-class, 9-way)
+# ---------------------------------------------------------------------------
+
+
+def load_kather_folder(
+    dataset_path: str, image_size: int = 224, exts: Sequence[str] = ("tif", "png", "jpg")
+) -> ArrayDataset:
+    images, labels = [], []
+    for cls_dir in sorted(glob.glob(os.path.join(dataset_path, "*/"))):
+        cls = os.path.basename(os.path.dirname(cls_dir))
+        label = KATHER_LABELS.get(cls, 8)  # unknown folder -> TUM, like the
+        # reference's else-branch (dataset.py:1050-1052)
+        paths: List[str] = []
+        for ext in exts:
+            paths += glob.glob(os.path.join(cls_dir, f"*.{ext}"))
+        for p in sorted(paths):
+            img = cv2.cvtColor(cv2.imread(p, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+            images.append(_resize(img, image_size))
+            labels.append(label)
+    return ArrayDataset(np.stack(images), np.asarray(labels, np.int32))
+
+
+# ---------------------------------------------------------------------------
+# Splits & label-fraction subsampling
+# ---------------------------------------------------------------------------
+
+
+def train_val_split(
+    ds: ArrayDataset, validation_split: float = 0.1, seed: int = 42, shuffle: bool = True
+) -> Tuple[ArrayDataset, ArrayDataset]:
+    """Index split matching the reference's sklearn-style holdout
+    (eval_BreastPathQ_SSL.py:293-307)."""
+    n = len(ds)
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    n_val = int(np.floor(validation_split * n))
+    return ds.subset(idx[n_val:]), ds.subset(idx[:n_val])
+
+
+def labeled_fraction(
+    ds: ArrayDataset, fraction: float, seed: int = 42, with_replacement: bool = False
+) -> ArrayDataset:
+    """Subsample a labeled fraction (10/25/50/100%).  with_replacement=True
+    reproduces the reference's np.random.choice duplicates defect."""
+    n = len(ds)
+    k = int(np.ceil(fraction * n))
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(n, size=k, replace=with_replacement)
+    return ds.subset(idx)

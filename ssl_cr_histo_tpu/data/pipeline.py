@@ -1,0 +1,84 @@
+"""Host->device feeding: double-buffered prefetch over a background thread.
+
+The reference overlaps augmentation with GPU compute via DataLoader worker
+processes + pin_memory (reference pretrain_BreastPathQ.py:212-216).  Here
+augmentation is on device, so the host's only job is shuffling, slicing, and
+shipping raw uint8 batches; a single prefetch thread with a small queue keeps
+`jax.device_put` ahead of the step."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def batch_iterator(
+    arrays,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+) -> Iterator:
+    """Yield aligned batch tuples from equal-length numpy arrays."""
+    n = len(arrays[0])
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    end = n - (n % batch_size) if drop_last else n
+    for i in range(0, end, batch_size):
+        sel = idx[i : i + batch_size]
+        yield tuple(a[sel] for a in arrays)
+
+
+def prefetch_to_device(
+    it: Iterable,
+    size: int = 2,
+    sharding: Optional[jax.sharding.Sharding] = None,
+) -> Iterator:
+    """Run `it` on a background thread, device_put each item ahead of use."""
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def put_leaf(x):
+        if sharding is not None:
+            try:
+                return jax.device_put(x, sharding)
+            except ValueError:
+                # batch not divisible by the data-axis size -> replicate
+                pass
+        return jax.device_put(x)
+
+    def put(item):
+        return jax.tree_util.tree_map(put_leaf, item)
+
+    errors = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(put(item))
+        except BaseException as e:  # surface loader errors to the consumer
+            errors.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+    if errors:
+        raise errors[0]
+
+
+def zip_shortest(*iters):
+    """zip() over batch iterators — the reference's zip(labeled, unlabeled)
+    epoch convention (epoch length = min; eval_Kather_SSL_CR.py:50)."""
+    return zip(*iters)

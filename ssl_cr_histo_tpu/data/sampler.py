@@ -1,0 +1,188 @@
+"""RSP multi-resolution triplet sampling from WSI pyramids.
+
+Re-implements the reference tile samplers with exact coordinate math but a
+lazy, streaming design:
+
+  * v1 geometry (reference ``dataset.py:322-384``): the LR1/HR tiles START at
+    the level-0 projection of the LR2 tile's center (grid quantized to each
+    level's downsample).
+  * v2 geometry (reference ``Pretraining_v2/dataset.py:219-266``): the
+    LR1/HR tiles are CENTERED on the LR2 tile's center.
+  * v1 foreground: LAB a-channel > (1+0.15)*mu on >=95% of pixels, with mu
+    the thumbnail mean (reference ``util.py:18-23``).
+  * v2 foreground: HSV saturation > 0.1 on >=75% of pixels
+    (``Pretraining_v2/util.py:9-13``).
+
+Unlike the reference — which eagerly materializes every tile of every WSI in
+RAM before training (``dataset.py:279-320``) — the sampler builds a light
+coordinate index per slide and reads triplets on demand, so arbitrarily
+large slide sets stream through the host->device pipeline.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+from typing import Iterator, List, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from ssl_cr_histo_tpu.data.wsi import PyramidReader, open_slide
+
+
+def foreground_lab(tile_u8: np.ndarray, mu: float, mu_percent: float = 0.15, thresh: float = 0.95) -> bool:
+    """v1 tissue test on a uint8 RGB tile (reference util.py:18-23)."""
+    lab = cv2.cvtColor(tile_u8, cv2.COLOR_RGB2LAB).astype(np.float32)
+    a = lab[..., 1] - 128.0  # cv2 uint8 Lab stores a+128
+    mask = a > (1.0 + mu_percent) * mu
+    return mask.mean() >= thresh
+
+
+def foreground_hsv(tile_u8: np.ndarray, sat_thresh: float = 0.1, thresh: float = 0.75) -> bool:
+    """v2 tissue test (Pretraining_v2/util.py:9-13)."""
+    hsv = cv2.cvtColor(tile_u8, cv2.COLOR_RGB2HSV)
+    mask = hsv[..., 1].astype(np.float32) / 255.0 > sat_thresh
+    return mask.mean() >= thresh
+
+
+def slide_lab_mu(reader: PyramidReader, thumb_level: int | None = None) -> float:
+    """Thumbnail mean of the LAB a-channel (reference dataset.py:400-403)."""
+    level = thumb_level if thumb_level is not None else reader.level_count - 1
+    w, h = reader.level_dimensions[level]
+    thumb = reader.read_region((0, 0), level, (w, h))
+    lab = cv2.cvtColor(thumb, cv2.COLOR_RGB2LAB).astype(np.float32)
+    return float((lab[..., 1] - 128.0).mean())
+
+
+@dataclass
+class TripletIndex:
+    """Per-slide work list of foreground grid positions (at the LR2 level)."""
+
+    slide_path: str
+    coords: np.ndarray  # (N, 2) int (x, y) at the LR2 level
+
+
+class RSPTripletSampler:
+    """Grid-scan a set of slides and read (HR, LR1, LR2) triplets.
+
+    geometry: 'v1' (corner-at-center) or 'v2' (center-aligned).
+    Levels are fixed (2, 1, 0) like the reference (dataset.py:277).
+    """
+
+    def __init__(
+        self,
+        tile: int = 256,
+        stride: int = 128,
+        geometry: str = "v1",
+        check_mpp: bool = True,
+        levels: Tuple[int, int, int] = (2, 1, 0),
+    ):
+        self.tile = tile
+        self.stride = stride
+        self.geometry = geometry
+        self.check_mpp = check_mpp and geometry == "v1"  # v2 drops the check
+        self.lr2, self.lr1, self.hr = levels
+
+    # -- index construction ------------------------------------------------
+
+    def index_slide(self, reader: PyramidReader, slide_path: str = "") -> TripletIndex:
+        if reader.level_count < 3:
+            return TripletIndex(slide_path, np.zeros((0, 2), np.int64))
+        if self.check_mpp:
+            pixel_scale = np.uint8(np.round(0.5 / reader.mpp_x))
+            if pixel_scale < 1:
+                return TripletIndex(slide_path, np.zeros((0, 2), np.int64))
+
+        mu = slide_lab_mu(reader) if self.geometry == "v1" else 0.0
+        iw, ih = reader.level_dimensions[self.lr2]
+        t, s = self.tile, self.stride
+        m = reader.level_downsamples[self.lr2]
+        fg = (
+            (lambda tile_img: foreground_lab(tile_img, mu))
+            if self.geometry == "v1"
+            else foreground_hsv
+        )
+        coords = []
+        # The reference grids [stride, dim-1-tile) in LR2-level units
+        # (dataset.py:424-436).
+        for ypos in range(s, ih - 1 - t, s):
+            for xpos in range(s, iw - 1 - t, s):
+                tile_img = reader.read_region(
+                    (int(m * xpos), int(m * ypos)), self.lr2, (t, t)
+                )
+                if fg(tile_img):
+                    coords.append((xpos, ypos))
+        return TripletIndex(slide_path, np.asarray(coords, np.int64).reshape(-1, 2))
+
+    def index_directory(self, image_dir: str, exts: Sequence[str] = ("tif", "svs", "npy")) -> List[TripletIndex]:
+        paths: List[str] = []
+        for ext in exts:
+            paths += glob.glob(os.path.join(image_dir, f"*.{ext}"))
+        out = []
+        for p in sorted(paths):
+            reader = open_slide(p)
+            idx = self.index_slide(reader, p)
+            if len(idx.coords):
+                out.append(idx)
+        return out
+
+    # -- triplet reads -----------------------------------------------------
+
+    def read_triplet(self, reader: PyramidReader, x: int, y: int) -> np.ndarray:
+        """Read one (3, tile, tile, 3) uint8 triplet [HR, LR1, LR2] at LR2
+        grid position (x, y)."""
+        t = self.tile
+        m = reader.level_downsamples[self.lr2]
+        lr2 = reader.read_region((int(m * x), int(m * y)), self.lr2, (t, t))
+
+        def origin(level: int) -> Tuple[int, int]:
+            ml = reader.level_downsamples[level]
+            cx0 = int(m * (x + t / 2))  # level-0 coords of the LR2 center
+            cy0 = int(m * (y + t / 2))
+            if self.geometry == "v1":
+                # corner at the center point, quantized (dataset.py:350-351)
+                return int(int(cx0 / ml) * ml), int(int(cy0 / ml) * ml)
+            # v2: tile centered on the center point
+            # (Pretraining_v2/dataset.py:242-255)
+            return (
+                int((int(cx0 / ml) - t // 2) * ml),
+                int((int(cy0 / ml) - t // 2) * ml),
+            )
+
+        lx1, ly1 = origin(self.lr1)
+        lr1 = reader.read_region((lx1, ly1), self.lr1, (t, t))
+        lxh, lyh = origin(self.hr)
+        hr = reader.read_region((lxh, lyh), self.hr, (t, t))
+        return np.stack([hr, lr1, lr2])
+
+    def iter_batches(
+        self,
+        indices: Sequence[TripletIndex],
+        batch_size: int,
+        seed: int = 0,
+        drop_last: bool = True,
+        readers: dict | None = None,
+    ) -> Iterator[np.ndarray]:
+        """Shuffle the global work list and yield (B, 3, t, t, 3) uint8
+        batches, opening each slide once."""
+        readers = readers if readers is not None else {}
+        work = [
+            (idx.slide_path, int(x), int(y))
+            for idx in indices
+            for x, y in idx.coords
+        ]
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(work))
+        batch = []
+        for i in order:
+            path, x, y = work[i]
+            if path not in readers:
+                readers[path] = open_slide(path)
+            batch.append(self.read_triplet(readers[path], x, y))
+            if len(batch) == batch_size:
+                yield np.stack(batch)
+                batch = []
+        if batch and not drop_last:
+            yield np.stack(batch)

@@ -165,7 +165,7 @@ def pretrain_augment_v1_fused(tiles: jnp.ndarray, key: jax.Array) -> jnp.ndarray
     def aug_tile(tile, tile_key):
         kg, kp = jax.random.split(tile_key)
         g = _pretrain_geo_matrix(kg, s)
-        tile = geometry.warp_affine(tile, g, pad_mode="reflect101")
+        tile = geometry.warp_affine_mxu(tile, g, pad_mode="reflect101")
         return _pretrain_photometric(tile, kp)
 
     return jax.vmap(aug_tile)(tiles, jax.random.split(key, tiles.shape[0]))
@@ -260,7 +260,7 @@ def randaugment_v1_fused(img: jnp.ndarray, key: jax.Array, n: int, m: int) -> jn
         return (im, g), None
 
     (img, g), _ = jax.lax.scan(stage, (img, _identity3()), (op_idx, v, kparams))
-    return geometry.warp_affine(img, g, pad_mode="reflect101")
+    return geometry.warp_affine_mxu(img, g, pad_mode="reflect101")
 
 
 def transform_fix_fused(img: jnp.ndarray, key: jax.Array, n: int = 7, m: int = 10):
@@ -356,4 +356,4 @@ def randaugment_v2_fused(img: jnp.ndarray, key: jax.Array, n: int, m: float) -> 
         return (im, g), None
 
     (img, g), _ = jax.lax.scan(stage, (img, _identity3()), (order, vals, kparams))
-    return geometry.warp_affine(img, g, pad_mode="constant")
+    return geometry.warp_affine_mxu(img, g, pad_mode="constant")

@@ -66,6 +66,7 @@ def make_pretrain_step(
     augment: Optional[str] = "v1",
     n_aug: int = 2,
     m_aug: float = 3.0,
+    aug_mode: str = "fused",
     mean=aug_batch.DEFAULT_MEAN,
     std=aug_batch.DEFAULT_STD,
 ) -> Callable:
@@ -99,9 +100,11 @@ def make_pretrain_step(
         kperm, kaug = jax.random.split(key)
         b = tiles_u8.shape[0]
         if augment == "v1":
-            tiles = aug_batch.augment_rsp_batch_v1(kaug, tiles_u8)
+            tiles = aug_batch.augment_rsp_batch_v1(kaug, tiles_u8, mode=aug_mode)
         elif augment == "v2":
-            tiles = aug_batch.augment_rsp_batch_v2(kaug, tiles_u8, n=n_aug, m=m_aug)
+            tiles = aug_batch.augment_rsp_batch_v2(
+                kaug, tiles_u8, n=n_aug, m=m_aug, mode=aug_mode
+            )
         else:
             tiles = aug_batch.to_float(tiles_u8)
         tiles = aug_batch.normalize_batch(tiles, mean, std)
@@ -236,6 +239,7 @@ def make_consistency_step(
     task: str = "classification",
     lambda_u: float = 1.0,
     n_aug: int = 7,
+    aug_mode: str = "fused",
     mean=aug_batch.DEFAULT_MEAN,
     std=aug_batch.DEFAULT_STD,
 ) -> Callable:
@@ -293,7 +297,7 @@ def make_consistency_step(
         key: jax.Array,
     ):
         kl, ku = jax.random.split(key)
-        weak, strong = aug_batch.transform_fix_batch(ku, x_u_u8, n=n_aug)
+        weak, strong = aug_batch.transform_fix_batch(ku, x_u_u8, n=n_aug, mode=aug_mode)
         x_l = aug_batch.to_float(x_l_u8)
         x_l = aug_batch.normalize_batch(x_l, mean, std)
         weak = aug_batch.normalize_batch(weak, mean, std)

@@ -1,0 +1,95 @@
+"""Epoch driver: orchestrates steps, validation, CSV logs, checkpoints.
+
+Mirrors the reference training loops' observable behavior
+(pretrain_BreastPathQ.py:276-345): per-epoch train/validate, CSV append
+('epoch, train_loss, train_acc, val_loss, val_acc'), periodic + best-val
+checkpoints, Lookahead stepped per epoch, and resume."""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ssl_cr_histo_tpu.eval.metrics import AverageMeter
+from ssl_cr_histo_tpu.train import optim
+from ssl_cr_histo_tpu.train.checkpoint import save_checkpoint
+from ssl_cr_histo_tpu.train.state import TrainState
+
+
+class CsvLogger:
+    """Append-only CSV with a fixed header (reference
+    pretrain_BreastPathQ.py:272-273, 289-290)."""
+
+    def __init__(self, path: str, header: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(header.rstrip("\n") + "\n")
+
+    def append(self, *values):
+        with open(self.path, "a") as f:
+            f.write(",".join(f"{v:.6f}" if isinstance(v, float) else str(v) for v in values) + "\n")
+
+
+@dataclass
+class EpochResult:
+    metrics: Dict[str, float]
+    seconds: float
+
+
+def run_epoch(
+    step_fn: Callable,
+    state: TrainState,
+    batches: Iterable,
+    key: jax.Array,
+    metric_names=("loss",),
+) -> tuple[TrainState, EpochResult]:
+    """Drive one epoch of `step_fn(state, *batch, key) -> (state, metrics)`."""
+    meters = {name: AverageMeter() for name in metric_names}
+    t0 = time.time()
+    for i, batch in enumerate(batches):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, *batch, sub)
+        n = int(np.shape(batch[0])[0])
+        for name in metric_names:
+            if name in metrics:
+                meters[name].update(float(metrics[name]), n)
+    return state, EpochResult(
+        {k: m.avg for k, m in meters.items()}, time.time() - t0
+    )
+
+
+def lookahead_epoch(state: TrainState, la_steps: int = 5, la_alpha: float = 0.5) -> TrainState:
+    """Apply the reference's per-epoch Lookahead 'scheduler' step
+    (pretrain_BreastPathQ.py:247,293)."""
+    if state.slow_params is None:
+        return state
+    params, slow, count = optim.lookahead_epoch_sync(
+        state.params, state.slow_params, state.la_count, la_steps, la_alpha
+    )
+    return state.replace(params=params, slow_params=slow, la_count=count)
+
+
+@dataclass
+class BestTracker:
+    """Best-validation checkpoint retention (reference keeps best-val copies,
+    Camelyon16 gated to epoch > 80 — pretrain_Camelyon16.py:307)."""
+
+    save_dir: str
+    mode: str = "min"
+    gate_epoch: int = 0
+    best: float = field(default=float("inf"))
+
+    def update(self, value: float, epoch: int, state: TrainState, meta: dict) -> bool:
+        v = value if self.mode == "min" else -value
+        if epoch <= self.gate_epoch or v >= self.best:
+            return False
+        self.best = v
+        save_checkpoint(os.path.join(self.save_dir, "best"), state, dict(meta, best=value))
+        return True

@@ -1,0 +1,169 @@
+"""Checkpoint tests: native save/restore round-trip and torch import parity.
+
+The torch-import test builds a minimal torch ResNet18+TripletNet with
+torchvision state_dict naming (torchvision itself is not installed), loads
+its weights through the importer, and checks the flax forward matches the
+torch forward numerically — validating both the importer and the flax
+architecture against the reference's backbone math.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from ssl_cr_histo_tpu.models import Classifier, TripletNet
+from ssl_cr_histo_tpu.train import optim
+from ssl_cr_histo_tpu.train.checkpoint import (
+    latest_checkpoint,
+    load_torch_triplet_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from ssl_cr_histo_tpu.train.init import init_triplet_state
+
+
+def test_save_restore_roundtrip(tmp_path):
+    model = TripletNet("resnet18")
+    clf = Classifier(num_classes=6)
+    tx = optim.adam(1e-3)
+    state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=32)
+    path = str(tmp_path / "ckpt_5")
+    save_checkpoint(path, state, {"epoch": 5, "val_loss": 0.5})
+    template = init_triplet_state(model, clf, tx, jax.random.PRNGKey(1), image_size=32)
+    restored, meta = restore_checkpoint(path, template)
+    assert meta["epoch"] == 5
+    np.testing.assert_array_equal(
+        np.asarray(state.params["model"]["backbone"]["conv1"]["kernel"]),
+        np.asarray(restored.params["model"]["backbone"]["conv1"]["kernel"]),
+    )
+    assert latest_checkpoint(str(tmp_path)) == path
+
+
+# --- minimal torch ResNet18 with torchvision naming (test-only oracle) ---
+
+
+class TorchBasicBlock(tnn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(cout)
+        self.relu = tnn.ReLU(inplace=True)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride, bias=False), tnn.BatchNorm2d(cout)
+            )
+
+    def forward(self, x):
+        idt = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            idt = self.downsample(x)
+        return self.relu(out + idt)
+
+
+class TorchResNet18(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU(inplace=True)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        cfg = [(64, 64, 1), (64, 128, 2), (128, 256, 2), (256, 512, 2)]
+        for i, (cin, cout, stride) in enumerate(cfg, start=1):
+            setattr(
+                self,
+                f"layer{i}",
+                tnn.Sequential(
+                    TorchBasicBlock(cin, cout, stride), TorchBasicBlock(cout, cout, 1)
+                ),
+            )
+        self.avgpool = tnn.AdaptiveAvgPool2d(1)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for i in range(1, 5):
+            x = getattr(self, f"layer{i}")(x)
+        return torch.flatten(self.avgpool(x), 1)
+
+
+class TorchTripletNet(tnn.Module):
+    """Reference models/net.py:25-66 contract: backbone under `model`,
+    pairwise MLP under `fc` (Sequential indices 0, 2)."""
+
+    def __init__(self):
+        super().__init__()
+        self.model = TorchResNet18()
+        self.fc = tnn.Sequential(tnn.Linear(1024, 512), tnn.ReLU(True), tnn.Linear(512, 256))
+
+    def forward(self, i1, i2, i3):
+        e1, e2, e3 = self.model(i1), self.model(i2), self.model(i3)
+        f12 = self.fc(torch.cat((e1, e2), 1))
+        f23 = self.fc(torch.cat((e2, e3), 1))
+        f13 = self.fc(torch.cat((e1, e3), 1))
+        return torch.cat((f12, f23, f13), 1)
+
+
+@pytest.fixture(scope="module")
+def torch_ckpt(tmp_path_factory):
+    torch.manual_seed(0)
+    net = TorchTripletNet().eval()
+    # randomize BN running stats so the import is actually exercised
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+    path = tmp_path_factory.mktemp("torch") / "ckpt.pth"
+    # DataParallel-style 'module.' prefix, as the reference saves
+    sd = {"module." + k: v for k, v in net.state_dict().items()}
+    torch.save({"model": sd, "epoch": 3}, str(path))
+    return str(path), net
+
+
+def test_torch_import_forward_parity(torch_ckpt):
+    path, net = torch_ckpt
+    params, stats = load_torch_triplet_checkpoint(path)
+
+    model = TripletNet("resnet18")
+    x = np.random.default_rng(0).random((2, 64, 64, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        want = net(xt, xt, xt).numpy()
+
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x),
+        train=False,
+        method=model.encode_single,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=1e-3)
+
+
+def test_torch_import_structure_matches_init(torch_ckpt):
+    path, _ = torch_ckpt
+    params, stats = load_torch_triplet_checkpoint(path)
+    model = TripletNet("resnet18")
+    x = jnp.zeros((1, 32, 32, 3))
+    ref = model.init(jax.random.PRNGKey(0), x, x, x, train=False)
+
+    ref_paths = {jax.tree_util.tree_structure(ref["params"])}
+    got_struct = jax.tree_util.tree_structure(params)
+    assert got_struct == jax.tree_util.tree_structure(ref["params"])
+    assert jax.tree_util.tree_structure(stats) == jax.tree_util.tree_structure(
+        ref["batch_stats"]
+    )
+    # shapes agree leaf-by-leaf
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(ref["params"])
+    ):
+        assert a.shape == b.shape

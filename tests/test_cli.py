@@ -1,0 +1,161 @@
+"""End-to-end CLI smoke tests on tiny synthetic datasets (CPU platform).
+
+These exercise the full wiring: dataset -> prefetch pipeline -> jitted steps
+-> checkpoints -> metrics, per entry point."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def kather_dirs(tmp_path):
+    rng = np.random.default_rng(0)
+    for split in ("train", "test"):
+        for cls in ("ADI", "TUM"):
+            d = tmp_path / split / cls
+            os.makedirs(d)
+            for i in range(12):
+                base = 40 if cls == "ADI" else 200
+                img = np.full((32, 32, 3), base, np.uint8)
+                img += rng.integers(0, 30, img.shape, dtype=np.uint8)
+                cv2.imwrite(str(d / f"p{i}.tif"), img)
+    return tmp_path
+
+
+def test_finetune_cli_end_to_end(kather_dirs, tmp_path):
+    from ssl_cr_histo_tpu.cli import finetune
+
+    save = tmp_path / "run"
+    finetune.main([
+        "--task", "kather",
+        "--train_path", str(kather_dirs / "train"),
+        "--num_epoch", "2",
+        "--batch_size", "8",
+        "--modules", "60",
+        "--validation_split", "0.25",
+        "--save_dir", str(save),
+        "--no-bf16",
+    ])
+    assert (save / "fine_tuned_results.csv").exists()
+    assert (save / "final" / "checkpoint.msgpack").exists()
+    lines = (save / "fine_tuned_results.csv").read_text().strip().splitlines()
+    assert len(lines) == 3  # header + 2 epochs
+
+    # evaluation mode on the test split
+    finetune.main([
+        "--task", "kather",
+        "--mode", "evaluation",
+        "--test_path", str(kather_dirs / "test"),
+        "--finetune_ckpt", str(save / "final"),
+        "--save_dir", str(save),
+        "--no-bf16",
+    ])
+    report = json.loads((save / "kather_eval.json").read_text())
+    assert "weighted_f1" in report and "ovr_auc" in report
+    assert 0.0 <= report["accuracy"] <= 1.0
+
+
+def test_consistency_cli_end_to_end(kather_dirs, tmp_path):
+    from ssl_cr_histo_tpu.cli import consistency, finetune
+
+    save = tmp_path / "ft"
+    finetune.main([
+        "--task", "kather",
+        "--train_path", str(kather_dirs / "train"),
+        "--num_epoch", "1",
+        "--batch_size", "8",
+        "--validation_split", "0.25",
+        "--save_dir", str(save),
+        "--no-bf16",
+    ])
+    save_cr = tmp_path / "cr"
+    consistency.main([
+        "--task", "kather",
+        "--train_path", str(kather_dirs / "train"),
+        "--finetune_ckpt", str(save / "final"),
+        "--num_epoch", "1",
+        "--batch_size", "4",
+        "--mu", "2",
+        "--NAug", "2",
+        "--labeled_train", "0.5",
+        "--validation_split", "0.25",
+        "--save_dir", str(save_cr),
+        "--no-bf16",
+    ])
+    assert (save_cr / "consistency_results.csv").exists()
+    assert (save_cr / "final" / "checkpoint.msgpack").exists()
+
+
+def test_pretrain_cli_end_to_end(tmp_path):
+    from ssl_cr_histo_tpu.cli import pretrain
+    from ssl_cr_histo_tpu.data.wsi import synthetic_wsi
+
+    wsi_dir = tmp_path / "wsis"
+    os.makedirs(wsi_dir)
+    for i in range(2):
+        pyr = synthetic_wsi(768, 768, seed=i)
+        np.save(wsi_dir / f"slide{i}.npy", pyr._levels[0])
+
+    save = tmp_path / "run"
+    pretrain.main([
+        "--train_image_pth", str(wsi_dir),
+        "--variant", "v2",
+        "--tile_h", "64", "--tile_w", "64",
+        "--tile_stride", "64",
+        "--batch_size", "4",
+        "--num_epoch", "1",
+        "--validation_size", "4",
+        "--save_freq", "1",
+        "--steps_per_epoch", "2",
+        "--NAug", "2",
+        "--save_dir", str(save),
+        "--no-bf16",
+    ])
+    assert (save / "train_results.csv").exists()
+    assert (save / "ckpt_1" / "checkpoint.msgpack").exists()
+
+
+def test_heatmap_cli_end_to_end(tmp_path):
+    import jax
+
+    from ssl_cr_histo_tpu.cli import heatmap
+    from ssl_cr_histo_tpu.models import FinetuneHead, TripletNet
+    from ssl_cr_histo_tpu.train import optim
+    from ssl_cr_histo_tpu.train.checkpoint import save_checkpoint
+    from ssl_cr_histo_tpu.train.init import init_triplet_state
+
+    wsi_dir = tmp_path / "wsis"
+    mask_dir = tmp_path / "masks"
+    out_dir = tmp_path / "probs"
+    os.makedirs(wsi_dir)
+    os.makedirs(mask_dir)
+    level0 = np.full((256, 256, 3), 230, np.uint8)
+    np.save(wsi_dir / "t1.npy", level0)
+    mask = np.zeros((32, 32), bool)
+    mask[8:12, 8:12] = True
+    np.save(mask_dir / "t1_mask.npy", mask)
+
+    model = TripletNet("resnet18")
+    head = FinetuneHead(num_classes=2)
+    state = init_triplet_state(
+        model, head, optim.adam(1e-4), jax.random.PRNGKey(0), image_size=64, triplet=False
+    )
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), state, {})
+
+    heatmap.main([
+        "--test_image_pth", str(wsi_dir),
+        "--test_mask_pth", str(mask_dir),
+        "--probs_map_path", str(out_dir),
+        "--finetune_ckpt", str(ckpt),
+        "--image_size", "64",
+        "--batch_size", "8",
+        "--no-bf16",
+    ])
+    pm = np.load(out_dir / "t1.npy")
+    assert pm.shape == (32, 32)
+    assert (out_dir / "t1_heatmap.png").exists()

@@ -1,0 +1,283 @@
+"""Data-layer tests: synthetic WSI fixtures, sampler geometry against
+closed-form coordinates, annotations, dataset readers, pipeline."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ssl_cr_histo_tpu.data import annotations as A
+from ssl_cr_histo_tpu.data import datasets as D
+from ssl_cr_histo_tpu.data import pipeline as P
+from ssl_cr_histo_tpu.data.sampler import (
+    RSPTripletSampler,
+    foreground_hsv,
+    foreground_lab,
+    slide_lab_mu,
+)
+from ssl_cr_histo_tpu.data.wsi import ArrayPyramid, synthetic_wsi
+
+
+# ---------------------------------------------------------------------------
+# WSI pyramid
+# ---------------------------------------------------------------------------
+
+
+def test_array_pyramid_geometry():
+    rng = np.random.default_rng(0)
+    level0 = (rng.random((512, 768, 3)) * 255).astype(np.uint8)
+    pyr = ArrayPyramid(level0, levels=3)
+    assert pyr.level_count == 3
+    assert pyr.level_dimensions[0] == (768, 512)
+    assert pyr.level_dimensions[1] == (384, 256)
+    assert pyr.level_downsamples[1] == pytest.approx(2.0)
+    # read_region uses level-0 coordinates
+    region = pyr.read_region((100, 40), 0, (64, 32))
+    np.testing.assert_array_equal(region, level0[40:72, 100:164])
+    # level-1 read at level-0 location (100, 40) -> level-1 pixel (50, 20)
+    region1 = pyr.read_region((100, 40), 1, (16, 16))
+    assert region1.shape == (16, 16, 3)
+
+
+def test_array_pyramid_out_of_bounds_is_white():
+    pyr = ArrayPyramid(np.zeros((64, 64, 3), np.uint8), levels=1)
+    region = pyr.read_region((-10, -10), 0, (20, 20))
+    assert region[0, 0].tolist() == [255, 255, 255]
+    assert region[-1, -1].tolist() == [0, 0, 0]
+
+
+def test_synthetic_wsi_has_tissue():
+    pyr = synthetic_wsi(512, 512, seed=1)
+    img = pyr.read_region((0, 0), 0, (512, 512))
+    # tissue pixels (non-background) exist
+    assert (img < 200).any()
+
+
+# ---------------------------------------------------------------------------
+# Foreground tests
+# ---------------------------------------------------------------------------
+
+
+def test_foreground_lab_discriminates():
+    pink = np.full((64, 64, 3), 0, np.uint8)
+    pink[..., 0] = 220; pink[..., 1] = 150; pink[..., 2] = 190  # high a*
+    white = np.full((64, 64, 3), 245, np.uint8)
+    mu = 2.0  # low slide mean a*
+    assert foreground_lab(pink, mu)
+    assert not foreground_lab(white, mu)
+
+
+def test_foreground_hsv_discriminates():
+    saturated = np.zeros((32, 32, 3), np.uint8)
+    saturated[..., 0] = 200; saturated[..., 1] = 80; saturated[..., 2] = 180
+    gray = np.full((32, 32, 3), 128, np.uint8)
+    assert foreground_hsv(saturated)
+    assert not foreground_hsv(gray)
+
+
+# ---------------------------------------------------------------------------
+# RSP sampler geometry — closed-form coordinate checks on a coordinate ramp
+# ---------------------------------------------------------------------------
+
+
+def _coord_pyramid(size=1024, levels=3):
+    """Level-0 image encoding x in R(high byte) and y in G so tile reads can
+    be verified by value."""
+    x = np.arange(size, dtype=np.uint16)
+    y = np.arange(size, dtype=np.uint16)
+    xx, yy = np.meshgrid(x, y)
+    img = np.stack([(xx // 4) % 256, (yy // 4) % 256, np.zeros_like(xx)], -1).astype(np.uint8)
+    return ArrayPyramid(img, levels=levels)
+
+
+def test_sampler_v1_geometry():
+    pyr = _coord_pyramid()
+    s = RSPTripletSampler(tile=64, stride=64, geometry="v1", check_mpp=False)
+    x, y = 32, 16  # LR2-level coords
+    trip = s.read_triplet(pyr, x, y)
+    assert trip.shape == (3, 64, 64, 3)
+    hr, lr1, lr2 = trip[0], trip[1], trip[2]
+    m = pyr.level_downsamples[2]  # 4.0
+    # LR2 tile starts at level-0 (m*x, m*y): first pixel encodes x=m*x
+    assert lr2[0, 0, 0] == ((int(m * x)) // 4) % 256
+    # v1: HR tile STARTS at the LR2 center point (corner-at-center geometry)
+    cx0 = int(m * (x + 32))
+    assert hr[0, 0, 0] == (cx0 // 4) % 256
+    # LR1 starts at the center quantized to downsample-2 grid
+    ml = pyr.level_downsamples[1]
+    lx1 = int(int(cx0 / ml) * ml)
+    assert lr1[0, 0, 0] == (lx1 // 4) % 256
+
+
+def test_sampler_v2_geometry_centered():
+    pyr = _coord_pyramid()
+    s = RSPTripletSampler(tile=64, stride=64, geometry="v2", check_mpp=False)
+    x, y = 32, 16
+    trip = s.read_triplet(pyr, x, y)
+    hr = trip[0]
+    m = pyr.level_downsamples[2]
+    cx0 = int(m * (x + 32))
+    # v2: HR tile is CENTERED on the LR2 center -> starts tile/2 earlier
+    want_left = int((int(cx0 / 1.0) - 32) * 1.0)
+    assert hr[0, 0, 0] == (want_left // 4) % 256
+    # center pixel of HR equals the center point
+    assert hr[32, 32, 0] == (cx0 // 4) % 256
+
+
+def test_sampler_index_and_batches(tmp_path):
+    pyr = synthetic_wsi(1024, 1024, seed=0)
+    np.save(tmp_path / "slide0.npy", pyr._levels[0])
+    s = RSPTripletSampler(tile=64, stride=64, geometry="v2", check_mpp=False)
+    indices = s.index_directory(str(tmp_path))
+    assert indices and len(indices[0].coords) > 0
+    batches = list(s.iter_batches(indices, batch_size=4, seed=0))
+    assert batches and batches[0].shape == (4, 3, 64, 64, 3)
+    assert batches[0].dtype == np.uint8
+
+
+# ---------------------------------------------------------------------------
+# Annotations
+# ---------------------------------------------------------------------------
+
+
+def test_annotation_polygon_membership(tmp_path):
+    doc = {
+        "positive": [{"name": "t0", "vertices": [[0, 0], [100, 0], [100, 100], [0, 100]]}],
+        "negative": [{"name": "n0", "vertices": [[200, 200], [300, 200], [300, 300], [200, 300]]}],
+    }
+    p = tmp_path / "Tumor_001.json"
+    p.write_text(json.dumps(doc))
+    ann = A.Annotation().from_json(str(p))
+    assert ann.inside_polygons((50, 50), True)
+    assert not ann.inside_polygons((150, 150), True)
+    assert ann.inside_polygons((250, 250), False)
+    coords = np.array([[50, 50], [150, 150], [250, 250]])
+    np.testing.assert_array_equal(
+        ann.inside_polygons_many(coords, True), [True, False, False]
+    )
+
+
+def test_xml2json_roundtrip(tmp_path):
+    xml = """<?xml version="1.0"?>
+<ASAP_Annotations>
+ <Annotations>
+  <Annotation Name="A0" PartOfGroup="Tumor">
+   <Coordinates>
+    <Coordinate Order="0" X="10.2" Y="20.7"/>
+    <Coordinate Order="1" X="110.0" Y="20.0"/>
+    <Coordinate Order="2" X="110.0" Y="120.0"/>
+   </Coordinates>
+  </Annotation>
+  <Annotation Name="A1" PartOfGroup="_2">
+   <Coordinates>
+    <Coordinate Order="0" X="5" Y="5"/>
+    <Coordinate Order="1" X="6" Y="5"/>
+    <Coordinate Order="2" X="6" Y="6"/>
+   </Coordinates>
+  </Annotation>
+ </Annotations>
+</ASAP_Annotations>"""
+    inxml = tmp_path / "tumor_001.xml"
+    inxml.write_text(xml)
+    outjson = tmp_path / "tumor_001.json"
+    A.camelyon16xml2json(str(inxml), str(outjson))
+    doc = json.loads(outjson.read_text())
+    assert len(doc["positive"]) == 1 and len(doc["negative"]) == 1
+    assert doc["positive"][0]["vertices"][0] == [10, 21]  # rounded
+
+
+# ---------------------------------------------------------------------------
+# Dataset readers
+# ---------------------------------------------------------------------------
+
+
+def test_breastpathq_h5(tmp_path):
+    import h5py
+
+    rng = np.random.default_rng(0)
+    with h5py.File(tmp_path / "train_0.h5", "w") as f:
+        f["x"] = rng.random((5, 3, 48, 48)).astype(np.float32)
+        f["y"] = np.linspace(0, 1, 5).astype(np.float32)
+    ds = D.load_breastpathq_h5(str(tmp_path) + "/", image_size=64)
+    assert ds.images.shape == (5, 64, 64, 3) and ds.images.dtype == np.uint8
+    np.testing.assert_allclose(ds.labels, np.linspace(0, 1, 5), atol=1e-6)
+
+
+def test_kather_folder(tmp_path):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    for cls in ("ADI", "TUM", "STR"):
+        os.makedirs(tmp_path / cls)
+        for i in range(2):
+            cv2.imwrite(
+                str(tmp_path / cls / f"p{i}.tif"),
+                (rng.random((32, 32, 3)) * 255).astype(np.uint8),
+            )
+    ds = D.load_kather_folder(str(tmp_path), image_size=48)
+    assert ds.images.shape == (6, 48, 48, 3)
+    assert sorted(set(ds.labels.tolist())) == [0, 7, 8]
+
+
+def test_camelyon16_patches(tmp_path):
+    import cv2
+
+    data = tmp_path / "patches"
+    jsons = tmp_path / "jsons"
+    os.makedirs(data)
+    os.makedirs(jsons)
+    lines = [
+        ("Tumor_026", 50, 50),     # finetune split, inside tumor polygon
+        ("Tumor_026", 500, 500),   # finetune split, outside polygon
+        ("Tumor_001", 50, 50),     # pretrain split (<=25)
+        ("Normal_040", 500, 500),  # finetune split, normal slide
+    ]
+    with open(data / "list.txt", "w") as f:
+        for i, (pid, x, y) in enumerate(lines):
+            f.write(f"{pid},{x},{y}\n")
+            cv2.imwrite(str(data / f"{i}.png"), np.full((32, 32, 3), i * 40, np.uint8))
+    tumor_doc = {
+        "positive": [{"name": "t", "vertices": [[0, 0], [100, 0], [100, 100], [0, 100]]}],
+        "negative": [],
+    }
+    empty_doc = {"positive": [], "negative": []}
+    (jsons / "Tumor_026.json").write_text(json.dumps(tumor_doc))
+    (jsons / "Tumor_001.json").write_text(json.dumps(tumor_doc))
+    (jsons / "Normal_040.json").write_text(json.dumps(empty_doc))
+
+    ds = D.load_camelyon16_patches(str(data), str(jsons), image_size=32, split="finetune")
+    assert len(ds) == 3
+    np.testing.assert_array_equal(ds.labels, [1, 0, 0])
+    # patch pairing by line index preserved: first kept line is idx 0
+    assert ds.images[0, 0, 0, 0] == 0
+
+
+def test_splits_and_fraction():
+    ds = D.ArrayDataset(np.arange(100)[:, None, None, None].astype(np.uint8), np.arange(100))
+    tr, va = D.train_val_split(ds, 0.2, seed=0)
+    assert len(tr) == 80 and len(va) == 20
+    assert set(tr.labels.tolist()).isdisjoint(va.labels.tolist())
+    sub = D.labeled_fraction(tr, 0.25, seed=0)
+    assert len(sub) == 20
+    assert len(set(sub.labels.tolist())) == 20  # without replacement
+    subr = D.labeled_fraction(tr, 0.25, seed=0, with_replacement=True)
+    assert len(subr) == 20
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_batch_iterator_and_prefetch():
+    imgs = np.arange(10 * 4).reshape(10, 4).astype(np.uint8)
+    labels = np.arange(10)
+    batches = list(P.batch_iterator((imgs, labels), 4, shuffle=True, seed=0))
+    assert len(batches) == 2  # drop_last
+    for bi, bl in batches:
+        assert bi.shape == (4, 4) and bl.shape == (4,)
+        np.testing.assert_array_equal(bi[:, 0] // 4, bl)
+    out = list(P.prefetch_to_device(P.batch_iterator((imgs, labels), 2, shuffle=False)))
+    assert len(out) == 5
+    np.testing.assert_array_equal(np.asarray(out[0][1]), [0, 1])
