@@ -46,15 +46,17 @@ def main():
     state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=tile)
     step = S.make_pretrain_step(model, clf, tx, augment="v1")
 
-    # compile + warmup
+    # compile + warmup.  NOTE: block_until_ready does not reliably
+    # synchronize on the axon tunnel platform, so every timing below forces a
+    # scalar device->host transfer instead.
     state, metrics = step(state, tiles, jax.random.PRNGKey(0))
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
-    iters = 20
+    iters = 10
     t0 = time.time()
     for i in range(iters):
         state, metrics = step(state, tiles, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
     dt = (time.time() - t0) / iters
 
     patches_per_step = batch_size * 3

@@ -114,9 +114,18 @@ def main(argv=None):
     for epoch in range(1, args.num_epoch + 1):
         t0 = time.time()
         tl, sl, cl = M.AverageMeter(), M.AverageMeter(), M.AverageMeter()
-        lab_it = batch_iterator(
-            (labeled.images, labeled.labels), batch_size, seed=args.seed + epoch
-        )
+        if cfg.name == "camelyon16":
+            # balanced tumor/normal labeled batches (reference's 4 zipped
+            # loaders, eval_Camelyon_SSL_CR.py:53-101)
+            from ssl_cr_histo_tpu.data.pipeline import balanced_batch_iterator
+
+            lab_it = balanced_batch_iterator(
+                labeled.images, labeled.labels, batch_size, seed=args.seed + epoch
+            )
+        else:
+            lab_it = batch_iterator(
+                (labeled.images, labeled.labels), batch_size, seed=args.seed + epoch
+            )
         unlab_it = batch_iterator(
             (train.images,), batch_size * args.mu, seed=1000 + args.seed + epoch
         )

@@ -144,7 +144,16 @@ def main(argv=None):
         t0 = time.time()
         tl = M.AverageMeter()
         key, ek = jax.random.split(key)
-        it = batch_iterator((train.images, train.labels), batch_size, seed=args.seed + epoch)
+        if cfg.name == "camelyon16":
+            # balanced tumor/normal batches (reference's zipped dual loaders,
+            # eval_Camelyon_SSL.py:50-75)
+            from ssl_cr_histo_tpu.data.pipeline import balanced_batch_iterator
+
+            it = balanced_batch_iterator(
+                train.images, train.labels, batch_size, seed=args.seed + epoch
+            )
+        else:
+            it = batch_iterator((train.images, train.labels), batch_size, seed=args.seed + epoch)
         for imgs, labels in prefetch_to_device(it, sharding=sharding):
             ek, sk = jax.random.split(ek)
             state, m = step(state, imgs, jnp.asarray(labels), sk)
@@ -197,6 +206,22 @@ def evaluate(args, cfg, state, forward):
             "tau_MA": M.kendall_tau(preds, ds_a.labels),
             "mse_MA": float(np.mean((preds - ds_a.labels) ** 2)),
         }
+        # scatter + Bland-Altman artifacts per rater pairing (reference
+        # eval_BreastPathQ_SSL.py:504-544)
+        from ssl_cr_histo_tpu.eval import reporting as RP
+
+        for tag, x, y in (
+            ("MA", ds_a.labels, preds),
+            ("MB", labels_b, preds),
+            ("AB", ds_a.labels, labels_b),
+        ):
+            RP.save_scatter_plot(
+                x, y, "Pathologist", "Automated Method",
+                os.path.join(args.save_dir, f"BreastPathQ_Eval_2way_{tag}_plot.png"),
+            )
+            RP.save_bland_altman_plot(
+                x, y, os.path.join(args.save_dir, f"BDPlot_Eval_2way_{tag}_plot.png")
+            )
     else:
         if cfg.name == "camelyon16":
             ds = D.load_camelyon16_patches(args.test_path, args.json_path, cfg.image_size, split=None)
@@ -221,6 +246,15 @@ def evaluate(args, cfg, state, forward):
         except ValueError:
             # AUC undefined when the eval split lacks some classes
             report["ovr_auc" if cfg.num_classes > 2 else "auc"] = None
+        from ssl_cr_histo_tpu.data.datasets import KATHER_CLASSES
+        from ssl_cr_histo_tpu.eval.reporting import save_confusion_matrix_plot
+
+        names = (
+            list(KATHER_CLASSES) if cfg.name == "kather" else ["normal", "tumor"]
+        )
+        save_confusion_matrix_plot(
+            cm, names, os.path.join(args.save_dir, f"{cfg.name}_confusion.png")
+        )
     import json
 
     out = os.path.join(args.save_dir, f"{cfg.name}_eval.json")

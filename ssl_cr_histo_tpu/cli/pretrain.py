@@ -59,6 +59,9 @@ def parse_args(argv=None):
     p.add_argument("--resume", default="")
     p.add_argument("--steps_per_epoch", type=int, default=0,
                    help="0 = full pass over the sampled index")
+    p.add_argument("--tsne", action="store_true",
+                   help="save a t-SNE plot of validation features at the end "
+                        "(reference pretrain_BreastPathQ.py:322-340)")
     add_common_args(p)
     return p.parse_args(argv)
 
@@ -168,6 +171,25 @@ def main(argv=None):
             save_checkpoint(os.path.join(args.save_dir, f"ckpt_{epoch}"), state, meta)
         if best.update(val_loss.avg, epoch, state, meta):
             print(f"==> new best val loss {val_loss.avg:.4f}")
+
+    if args.tsne and val_positions:
+        from ssl_cr_histo_tpu.eval.reporting import save_tsne_plot
+
+        feats, targets = [], []
+        vb = sampler.iter_batches(val_positions, args.batch_size, seed=0,
+                                  drop_last=False, readers=readers)
+        for tiles in prefetch_to_device(vb, sharding=sharding):
+            b = tiles.shape[0]
+            labels = np.tile(np.arange(6), (b + 5) // 6)[:b].astype(np.int32)
+            tiles_p = S.permute_triplets(jnp.asarray(tiles), jnp.asarray(labels))
+            m = eval_step(state, tiles_p, jnp.asarray(labels))
+            feats.append(np.asarray(m["feats"]))
+            targets.append(labels)
+        save_tsne_plot(
+            np.concatenate(feats), np.concatenate(targets),
+            os.path.join(args.save_dir, "tsne.png"),
+        )
+        print("==> saved t-SNE plot")
 
     print("done.")
 

@@ -82,3 +82,27 @@ def zip_shortest(*iters):
     """zip() over batch iterators — the reference's zip(labeled, unlabeled)
     epoch convention (epoch length = min; eval_Kather_SSL_CR.py:50)."""
     return zip(*iters)
+
+
+def balanced_batch_iterator(
+    images: np.ndarray,
+    labels: np.ndarray,
+    batch_size: int,
+    seed: int = 0,
+) -> Iterator:
+    """Class-balanced batches: half from each binary class, concatenated and
+    shuffled — the reference's Camelyon16 dual tumor/normal zipped-loader
+    scheme (eval_Camelyon_SSL.py:50-75).  Epoch length = the smaller class's
+    batch count."""
+    rng = np.random.default_rng(seed)
+    half = batch_size // 2
+    classes = np.unique(labels)
+    if len(classes) != 2:
+        raise ValueError("balanced_batch_iterator expects binary labels")
+    idx_a = rng.permutation(np.where(labels == classes[0])[0])
+    idx_b = rng.permutation(np.where(labels == classes[1])[0])
+    n_batches = min(len(idx_a), len(idx_b)) // half
+    for i in range(n_batches):
+        sel = np.concatenate([idx_a[i * half : (i + 1) * half], idx_b[i * half : (i + 1) * half]])
+        rng.shuffle(sel)
+        yield images[sel], labels[sel]

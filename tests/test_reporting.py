@@ -1,0 +1,60 @@
+"""Tests for reporting artifacts, balanced loader, and profiling utils."""
+
+import numpy as np
+
+from ssl_cr_histo_tpu.data.pipeline import balanced_batch_iterator
+from ssl_cr_histo_tpu.eval import reporting as R
+from ssl_cr_histo_tpu.utils.profiling import StepTimer, Throughput
+
+
+def test_confusion_matrix_plot(tmp_path):
+    cm = np.array([[5, 1], [2, 7]])
+    out = tmp_path / "cm.png"
+    R.save_confusion_matrix_plot(cm, ["neg", "pos"], str(out))
+    assert out.exists() and out.stat().st_size > 0
+    R.save_confusion_matrix_plot(cm, ["neg", "pos"], str(tmp_path / "cmn.png"), normalize=True)
+
+
+def test_tsne_plot(tmp_path):
+    rng = np.random.default_rng(0)
+    feats = np.concatenate([rng.normal(i, 0.1, (20, 16)) for i in range(3)])
+    labels = np.repeat(np.arange(3), 20)
+    out = tmp_path / "tsne.png"
+    R.save_tsne_plot(feats, labels, str(out), perplexity=5)
+    assert out.exists()
+    assert (tmp_path / "tsne_feats.npy").exists()
+
+
+def test_scatter_and_bland_altman(tmp_path):
+    a = np.linspace(0, 1, 30)
+    b = a + np.random.default_rng(0).normal(0, 0.05, 30)
+    R.save_scatter_plot(a, b, "rater", "model", str(tmp_path / "sc.png"))
+    R.save_bland_altman_plot(a, b, str(tmp_path / "ba.png"))
+    assert (tmp_path / "sc.png").exists() and (tmp_path / "ba.png").exists()
+
+
+def test_balanced_batch_iterator():
+    rng = np.random.default_rng(0)
+    images = np.arange(30)[:, None].astype(np.uint8)
+    labels = np.array([0] * 20 + [1] * 10)
+    batches = list(balanced_batch_iterator(images, labels, batch_size=4, seed=0))
+    # smaller class has 10 -> 5 batches of 2+2
+    assert len(batches) == 5
+    for imgs, labs in batches:
+        assert (labs == 0).sum() == 2 and (labs == 1).sum() == 2
+    # no duplicate use of minority samples
+    used = np.concatenate([l for _, l in batches])
+    assert (used == 1).sum() == 10
+
+
+def test_step_timer_and_throughput():
+    t = StepTimer()
+    t.reset()
+    assert t.elapsed() >= 0.0
+    assert t.elapsed(sync_value=np.float32(1.0)) >= 0.0
+    tp = Throughput(window=2)
+    tp.update(10, 1.0)
+    tp.update(20, 1.0)
+    assert tp.items_per_sec == 15.0
+    tp.update(30, 1.0)  # evicts the first
+    assert tp.items_per_sec == 25.0
