@@ -24,10 +24,25 @@ import time
 FALLBACK_BASELINE_PPS = 147.8  # measured 2026-08-16 on this host, see tools/
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache — cold-start compiles of the full
+    step take 1-3 minutes on the tunnel; cached reruns skip them."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    _enable_compilation_cache()
 
     from ssl_cr_histo_tpu.models import Classifier, TripletNet
     from ssl_cr_histo_tpu.parallel import steps as S

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import random
 from typing import Optional
 
@@ -38,9 +39,21 @@ TASKS = {
 }
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache (cold compiles of the fused train
+    steps take minutes; cached reruns skip them)."""
+    cache_dir = cache_dir or os.path.expanduser("~/.cache/ssl_cr_histo_tpu_xla")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def seed_everything(seed: int) -> jax.Array:
     random.seed(seed)
     np.random.seed(seed)
+    enable_compilation_cache()
     return jax.random.PRNGKey(seed)
 
 

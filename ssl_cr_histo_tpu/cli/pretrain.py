@@ -115,10 +115,15 @@ def main(argv=None):
     eval_step = S.make_pretrain_eval_step(model, clf)
 
     start_epoch = 1
-    if args.resume:
-        state, meta = restore_checkpoint(args.resume, state)
+    resume_path = args.resume
+    if resume_path == "auto":
+        from ssl_cr_histo_tpu.train.checkpoint import latest_checkpoint
+
+        resume_path = latest_checkpoint(args.save_dir) or ""
+    if resume_path:
+        state, meta = restore_checkpoint(resume_path, state)
         start_epoch = int(meta.get("epoch", 0)) + 1
-        print(f"==> resumed from {args.resume} (epoch {start_epoch - 1})")
+        print(f"==> resumed from {resume_path} (epoch {start_epoch - 1})")
 
     os.makedirs(args.save_dir, exist_ok=True)
     log = CsvLogger(

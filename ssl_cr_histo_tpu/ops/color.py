@@ -83,9 +83,20 @@ def hsv2rgb(hsv: jnp.ndarray) -> jnp.ndarray:
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
-    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
-    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+
+    # chained wheres instead of jnp.select: select lowers through argmax,
+    # which Mosaic (Pallas TPU) only supports for float32 operands.
+    def pick(c0, c1, c2, c3, c4, c5):
+        return jnp.where(
+            i == 0, c0,
+            jnp.where(i == 1, c1,
+                      jnp.where(i == 2, c2,
+                                jnp.where(i == 3, c3, jnp.where(i == 4, c4, c5)))),
+        )
+
+    r = pick(v, q, p, p, t, v)
+    g = pick(t, v, v, q, p, p)
+    b = pick(p, p, t, v, v, q)
     return jnp.stack([r, g, b], axis=-1)
 
 
