@@ -59,7 +59,9 @@ def main():
     clf = Classifier(num_classes=6)
     tx = optim.sgd_nesterov(0.01, momentum=0.9, weight_decay=1e-4)
     state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=tile)
-    step = S.make_pretrain_step(model, clf, tx, augment="v1")
+    # pallas photometric backend: the VMEM-resident fused chain (12% faster
+    # end-to-end than the XLA chain on v5e; TPU-only, which bench always is)
+    step = S.make_pretrain_step(model, clf, tx, augment="v1", photometric="pallas")
 
     # compile + warmup.  NOTE: block_until_ready does not reliably
     # synchronize on the axon tunnel platform, so every timing below forces a

@@ -79,6 +79,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
         "--aug_mode", default="fused", choices=["fused", "exact"],
         help="fused = single-warp TPU fast path; exact = op-by-op reference semantics",
     )
+    parser.add_argument(
+        "--photometric", default="xla", choices=["xla", "pallas"],
+        help="photometric-chain backend in fused mode (pallas = VMEM-resident "
+             "kernel, TPU only)",
+    )
 
 
 def model_dtype(args):

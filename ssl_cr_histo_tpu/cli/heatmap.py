@@ -51,6 +51,23 @@ def main(argv=None):
     state, _ = restore_checkpoint(args.finetune_ckpt, state)
     forward = S.make_forward_fn(model, head)
 
+    # Shard the patch grid over the data mesh axis: on a pod each chip
+    # forwards its slice of the sliding window (SURVEY §2.2's spatial-tiling
+    # equivalent of sequence parallelism).
+    from ssl_cr_histo_tpu.parallel import batch_sharding, make_mesh
+
+    mesh = make_mesh()
+    sharding = batch_sharding(mesh)
+
+    def forward_sharded(patches):
+        import jax
+
+        try:
+            patches = jax.device_put(patches, sharding)
+        except ValueError:  # batch not divisible by the data axis
+            patches = jnp.asarray(patches)
+        return forward(state, patches)
+
     wsipaths, maskpaths = [], []
     for ext in ("tif", "svs", "npy"):
         wsipaths += glob.glob(os.path.join(args.test_image_pth, f"*.{ext}"))
@@ -67,7 +84,7 @@ def main(argv=None):
         probs_map = compute_probs_map(
             reader,
             mask,
-            lambda patches: forward(state, jnp.asarray(patches)),
+            forward_sharded,
             image_size=args.image_size,
             batch_size=args.batch_size,
         )

@@ -54,6 +54,10 @@ def parse_args(argv=None):
                         "reference pretrain_Camelyon16.py:307)")
     p.add_argument("--validation_size", type=int, default=3000,
                    help="triplets held out for validation (3000 BPQ / 10000 Cam16)")
+    p.add_argument("--validation_fraction", type=float, default=0.0,
+                   help=">0 holds out a seeded fraction instead of a fixed "
+                        "count (the v2 driver's 80/20 split, "
+                        "Pretraining_v2/pretrain_RSP.py:217-218 -> 0.2)")
     p.add_argument("--NAug", type=int, default=2, help="v2 RandAugment n")
     p.add_argument("--Magn", type=float, default=3.0, help="v2 RandAugment m")
     p.add_argument("--resume", default="")
@@ -89,7 +93,10 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     flat = [(i, j) for i, idx in enumerate(indices) for j in range(len(idx.coords))]
     order = rng.permutation(len(flat))
-    n_val = min(args.validation_size, len(flat) // 5)
+    if args.validation_fraction > 0:
+        n_val = int(len(flat) * args.validation_fraction)
+    else:
+        n_val = min(args.validation_size, len(flat) // 5)
     val_set = set(order[:n_val].tolist())
     train_indices, val_positions = [], []
     flat_pos = {t: k for k, t in enumerate(flat)}
@@ -110,7 +117,8 @@ def main(argv=None):
     )
     step = S.make_pretrain_step(
         model, clf, tx,
-        augment=args.variant, n_aug=args.NAug, m_aug=args.Magn, aug_mode=args.aug_mode,
+        augment=args.variant, n_aug=args.NAug, m_aug=args.Magn,
+        aug_mode=args.aug_mode, photometric=args.photometric,
     )
     eval_step = S.make_pretrain_eval_step(model, clf)
 

@@ -30,19 +30,33 @@ def to_float(img_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def augment_rsp_batch_v1(
-    key: jax.Array, triplets_u8: jnp.ndarray, mode: str = "fused"
+    key: jax.Array, triplets_u8: jnp.ndarray, mode: str = "fused",
+    photometric: str = "xla",
 ) -> jnp.ndarray:
     """v1 RSP pretraining augmentation: all 8 pool ops per triplet.
 
     mode='fused' (default): single-warp fast path (ops.fused); mode='exact':
     op-by-op replay of the reference semantics, random order shared across
     the 3 tiles (ops.randaugment).
+    photometric='pallas' (fused mode, TPU only): run the photometric chain
+    in the VMEM-resident Pallas kernel (ops.pallas_photometric).
 
     triplets_u8: (B, 3, H, W, 3) uint8 -> (B, 3, H, W, 3) float32.
     """
     b = triplets_u8.shape[0]
     imgs = to_float(triplets_u8)
     keys = jax.random.split(key, b)
+    if mode == "fused" and photometric == "pallas":
+        from ssl_cr_histo_tpu.ops import pallas_photometric as PP
+
+        kg, kp = jax.random.split(key)
+        warped = jax.vmap(fused.pretrain_geo_warp_only)(
+            imgs, jax.random.split(kg, b)
+        )
+        t = warped.shape[1]
+        flat = warped.reshape(b * t, *warped.shape[2:])
+        out = PP.pretrain_photometric_pallas(flat, kp)
+        return out.reshape(warped.shape)
     fn = fused.pretrain_augment_v1_fused if mode == "fused" else randaugment.pretrain_augment_v1
     return jax.vmap(fn)(imgs, keys)
 

@@ -171,6 +171,18 @@ def pretrain_augment_v1_fused(tiles: jnp.ndarray, key: jax.Array) -> jnp.ndarray
     return jax.vmap(aug_tile)(tiles, jax.random.split(key, tiles.shape[0]))
 
 
+def pretrain_geo_warp_only(tiles: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """Just the composed geometric warp of the pretraining pool (the
+    photometric half runs in the Pallas kernel when photometric='pallas')."""
+    s = tiles.shape[-2]
+
+    def warp_tile(tile, tile_key):
+        g = _pretrain_geo_matrix(tile_key, s)
+        return geometry.warp_affine_mxu(tile, g, pad_mode="reflect101")
+
+    return jax.vmap(warp_tile)(tiles, jax.random.split(key, tiles.shape[0]))
+
+
 # ---------------------------------------------------------------------------
 # v1 RandAugment, fused (reference models/randaugment.py:51-144)
 # ---------------------------------------------------------------------------

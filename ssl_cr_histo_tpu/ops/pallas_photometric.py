@@ -10,9 +10,14 @@ noise with the on-core PRNG:
     HSV shift (p=.5) -> additive Gaussian noise (p=.5) -> HED stain shift
     -> box blur 3/5/7 (p=.5) -> brightness/contrast (p=.5)
 
+TPU-first data layout: the kernel works on CHANNEL-PLANAR (3, H, W) blocks —
+each color plane is a cleanly (8,128)-tileable (H, W) array.  A channels-
+minor (H, W, 3) layout forces Mosaic into per-op relayouts of a 3-wide minor
+dimension (pathological at 256x256).  The public entry point keeps the
+framework's NHWC convention and transposes at the boundary.
+
 Per-tile scalar parameters (shift magnitudes, gates, blur size) are drawn on
-the host side of the jit (cheap) and prefetched to SMEM; the kernel grid is
-one step per tile.
+the host side of the jit (cheap) and land in SMEM via scalar prefetch.
 
 Reference provenance: pool ops at reference ``dataset.py:109-152``.
 """
@@ -39,49 +44,46 @@ def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
     """uint32 random bits -> uniform floats in (0, 1).
 
     Mosaic has no uint32->float32 cast; stuff 23 random bits into the
-    mantissa of 1.0f and subtract (the classic bit trick): gives [0, 1)."""
+    mantissa of 1.0f and subtract (the classic bit trick)."""
     mantissa = bits >> jnp.uint32(9)
     one_to_two = pltpu.bitcast(mantissa | jnp.uint32(0x3F800000), jnp.float32)
     return (one_to_two - 1.0) + 1e-7
 
 
 def _reflect_pad_rows(img: jnp.ndarray, r: int) -> jnp.ndarray:
-    """reflect101 row padding built from explicit single-row slices (jnp's
-    negative-step slicing lowers to `rev`, which Mosaic lacks)."""
+    """reflect101 row padding of a (H, W) plane from explicit single-row
+    slices (negative-step slicing lowers to `rev`, which Mosaic lacks)."""
     h = img.shape[0]
     top = [img[k : k + 1] for k in range(r, 0, -1)]
     bot = [img[h - 1 - k : h - k] for k in range(1, r + 1)]
     return jnp.concatenate(top + [img] + bot, axis=0)
 
 
-def _box_blur_vmem(img: jnp.ndarray, ksize: jnp.ndarray, max_k: int = 7) -> jnp.ndarray:
-    """Box blur via shift-accumulate on a VMEM-resident (H, W, C) tile with
-    reflect101 borders; traced odd ``ksize`` <= max_k via masked taps."""
+def _box_blur_plane(img: jnp.ndarray, ksize, max_k: int = 7) -> jnp.ndarray:
+    """Box blur of one (H, W) plane via shift-accumulate with reflect101
+    borders; traced odd ``ksize`` <= max_k via masked taps."""
     r = max_k // 2
-    padded = _reflect_pad_rows(img, r)
-    padded = _reflect_pad_rows(padded.transpose(1, 0, 2), r).transpose(1, 0, 2)
-    h, w = img.shape[0], img.shape[1]
+    h, w = img.shape
     half = (ksize - 1.0) / 2.0
-    acc_rows = jnp.zeros_like(img)
+    padded = _reflect_pad_rows(img, r)
+    acc = jnp.zeros_like(img)
     norm = jnp.float32(0.0)
-    # vertical taps
     for dy in range(-r, r + 1):
         tap = (jnp.abs(jnp.float32(dy)) <= half).astype(jnp.float32)
-        acc_rows = acc_rows + tap * padded[dy + r : dy + r + h, r : r + w, :]
+        acc = acc + tap * padded[dy + r : dy + r + h, :]
         norm = norm + tap
-    acc_rows = acc_rows / norm
-    # horizontal taps
-    padded2 = _reflect_pad_rows(acc_rows.transpose(1, 0, 2), r).transpose(1, 0, 2)
-    acc = jnp.zeros_like(img)
+    acc = acc / norm
+    padded2 = _reflect_pad_rows(acc.T, r)
+    acc2 = jnp.zeros_like(img.T)
     for dx in range(-r, r + 1):
         tap = (jnp.abs(jnp.float32(dx)) <= half).astype(jnp.float32)
-        acc = acc + tap * padded2[:, dx + r : dx + r + w, :]
-    return acc / norm
+        acc2 = acc2 + tap * padded2[dx + r : dx + r + w, :]
+    return (acc2 / norm).T
 
 
 def _mat3_apply(c0, c1, c2, m) -> tuple:
-    """(3-channel planes) @ m with python-float matrix entries (kernel-safe:
-    no captured constant arrays)."""
+    """(3 planes) @ m with python-float matrix entries (kernel-safe: no
+    captured constant arrays)."""
     return (
         c0 * m[0][0] + c1 * m[1][0] + c2 * m[2][0],
         c0 * m[0][1] + c1 * m[1][1] + c2 * m[2][1],
@@ -93,54 +95,103 @@ _RGB_FROM_HED = tuple(tuple(float(v) for v in row) for row in color.RGB_FROM_HED
 _HED_FROM_RGB = tuple(tuple(float(v) for v in row) for row in color.HED_FROM_RGB)
 
 
-def _hed_shift_scalar(img: jnp.ndarray, dh, de, dd) -> jnp.ndarray:
-    """Legacy-skimage HED shift with unrolled 3x3 matmuls (matches
-    ops.stain.hed_shift)."""
-    r, g, b = -jnp.log(img[..., 0] + 2.0), -jnp.log(img[..., 1] + 2.0), -jnp.log(img[..., 2] + 2.0)
-    h, e, d = _mat3_apply(r, g, b, _HED_FROM_RGB)
+def _rgb2hsv_planes(r, g, b):
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    delta = v - mn
+    safe = jnp.where(delta == 0.0, 1.0, delta)
+    h_r = ((g - b) / safe) % 6.0
+    h_g = (b - r) / safe + 2.0
+    h_b = (r - g) / safe + 4.0
+    h = jnp.where(v == r, h_r, jnp.where(v == g, h_g, h_b))
+    h = jnp.where(delta == 0.0, 0.0, h / 6.0)
+    s = jnp.where(v == 0.0, 0.0, delta / jnp.where(v == 0.0, 1.0, v))
+    return h, s, v
+
+
+def _hsv2rgb_planes(h, s, v):
+    h6 = (h % 1.0) * 6.0
+    i = jnp.floor(h6)
+    f = h6 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+
+    def pick(c0, c1, c2, c3, c4, c5):
+        return jnp.where(
+            i == 0, c0,
+            jnp.where(i == 1, c1,
+                      jnp.where(i == 2, c2,
+                                jnp.where(i == 3, c3, jnp.where(i == 4, c4, c5)))),
+        )
+
+    return pick(v, q, p, p, t, v), pick(t, v, v, q, p, p), pick(p, p, t, v, v, q)
+
+
+def _hed_shift_planes(r, g, b, dh, de, dd):
+    """Legacy-skimage HED shift (matches ops.stain.hed_shift) on planes."""
+    lr0, lg0, lb0 = -jnp.log(r + 2.0), -jnp.log(g + 2.0), -jnp.log(b + 2.0)
+    h, e, d = _mat3_apply(lr0, lg0, lb0, _HED_FROM_RGB)
     h, e, d = h + dh, e + de, d + dd
     lr, lg, lb = _mat3_apply(-h, -e, -d, _RGB_FROM_HED)
-    out = jnp.stack([jnp.exp(lr), jnp.exp(lg), jnp.exp(lb)], axis=-1)
-    return jnp.clip((out - 1.0) / 2.0, 0.0, 1.0)
+    clip = lambda x: jnp.clip((jnp.exp(x) - 1.0) / 2.0, 0.0, 1.0)
+    return clip(lr), clip(lg), clip(lb)
 
 
-def _chain(img: jnp.ndarray, p: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
-    """The photometric chain on a resident (H, W, 3) tile."""
+def _chain_planes(r, g, b, p, nr, ng, nb):
+    """The photometric chain on resident (H, W) color planes.
+
+    p is an indexable of N_PARAMS scalars (SMEM loads in the kernel, an
+    array row in the oracle)."""
     # HSV shift
-    hsv = color.rgb2hsv(img)
-    h = (hsv[..., 0] + p[0] / 180.0) % 1.0
-    s = jnp.clip(hsv[..., 1] + p[1] / 255.0, 0.0, 1.0)
-    v = jnp.clip(hsv[..., 2] + p[2] / 255.0, 0.0, 1.0)
-    out = color.hsv2rgb(jnp.stack([h, s, v], axis=-1))
-    img = jnp.where(p[3] > 0.5, out, img)
+    h, s, v = _rgb2hsv_planes(r, g, b)
+    h = (h + p[0] / 180.0) % 1.0
+    s = jnp.clip(s + p[1] / 255.0, 0.0, 1.0)
+    v = jnp.clip(v + p[2] / 255.0, 0.0, 1.0)
+    r2, g2, b2 = _hsv2rgb_planes(h, s, v)
+    gate = p[3] > 0.5
+    r, g, b = (jnp.where(gate, a, o) for a, o in ((r2, r), (g2, g), (b2, b)))
     # Gaussian noise
-    out = jnp.clip(img + noise * p[4], 0.0, 1.0)
-    img = jnp.where(p[5] > 0.5, out, img)
+    gate = p[5] > 0.5
+    r = jnp.where(gate, jnp.clip(r + nr * p[4], 0.0, 1.0), r)
+    g = jnp.where(gate, jnp.clip(g + ng * p[4], 0.0, 1.0), g)
+    b = jnp.where(gate, jnp.clip(b + nb * p[4], 0.0, 1.0), b)
     # HED shift (always applied)
-    img = _hed_shift_scalar(img, p[6], p[7], p[8])
+    r, g, b = _hed_shift_planes(r, g, b, p[6], p[7], p[8])
     # Box blur
-    out = _box_blur_vmem(img, p[9])
-    img = jnp.where(p[10] > 0.5, out, img)
+    gate = p[10] > 0.5
+    r = jnp.where(gate, _box_blur_plane(r, p[9]), r)
+    g = jnp.where(gate, _box_blur_plane(g, p[9]), g)
+    b = jnp.where(gate, _box_blur_plane(b, p[9]), b)
     # Brightness / contrast
-    out = jnp.clip(img * (1.0 + p[12]) + p[11], 0.0, 1.0)
-    return jnp.where(p[13] > 0.5, out, img)
+    gate = p[13] > 0.5
+    bc = lambda x: jnp.clip(x * (1.0 + p[12]) + p[11], 0.0, 1.0)
+    return (
+        jnp.where(gate, bc(r), r),
+        jnp.where(gate, bc(g), g),
+        jnp.where(gate, bc(b), b),
+    )
 
 
 def _kernel_prng(seed_ref, params_ref, img_ref, out_ref):
-    """TPU kernel: per-pixel Gaussian noise from the on-core PRNG.
-
-    seeds/params arrive via scalar prefetch (whole arrays in SMEM), indexed
-    by the grid position."""
+    """TPU kernel over a (1, 3, H, W) planar block; per-pixel Gaussian noise
+    from the on-core PRNG (Box-Muller)."""
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[i])
-    img = img_ref[0]
-    h, w, c = img.shape
-    # Box-Muller gaussian from two uniform draws
-    u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits((h, w, c)), jnp.uint32))
-    u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits((h, w, c)), jnp.uint32))
-    noise = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
-    p = tuple(params_ref[i, j] for j in range(N_PARAMS))  # SMEM scalar loads
-    out_ref[0] = _chain(img, p, noise)
+    r, g, b = img_ref[0, 0], img_ref[0, 1], img_ref[0, 2]
+    h, w = r.shape
+
+    def normal():
+        u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits((h, w)), jnp.uint32))
+        u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits((h, w)), jnp.uint32))
+        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
+    p = tuple(params_ref[i, j] for j in range(N_PARAMS))
+    ro, go, bo = _chain_planes(r, g, b, p, normal(), normal(), normal())
+    out_ref[0, 0] = ro
+    out_ref[0, 1] = go
+    out_ref[0, 2] = bo
 
 
 def _kernel_noise_input(seed_ref, params_ref, img_ref, noise_ref, out_ref):
@@ -148,7 +199,13 @@ def _kernel_noise_input(seed_ref, params_ref, img_ref, noise_ref, out_ref):
     PRNG primitives lower only on real TPUs)."""
     i = pl.program_id(0)
     p = tuple(params_ref[i, j] for j in range(N_PARAMS))
-    out_ref[0] = _chain(img_ref[0], p, noise_ref[0])
+    ro, go, bo = _chain_planes(
+        img_ref[0, 0], img_ref[0, 1], img_ref[0, 2], p,
+        noise_ref[0, 0], noise_ref[0, 1], noise_ref[0, 2],
+    )
+    out_ref[0, 0] = ro
+    out_ref[0, 1] = go
+    out_ref[0, 2] = bo
 
 
 def draw_params(key: jax.Array, n: int) -> jnp.ndarray:
@@ -168,7 +225,9 @@ def draw_params(key: jax.Array, n: int) -> jnp.ndarray:
     sigma = jax.random.uniform(ksig, (n, 3), minval=-0.035, maxval=0.035)
     hed = jax.random.normal(knorm, (n, 3)) * sigma
     params = params.at[:, 6:9].set(hed)
-    params = params.at[:, 9].set(3.0 + 2.0 * jax.random.randint(ks[7], (n,), 0, 3).astype(jnp.float32))
+    params = params.at[:, 9].set(
+        3.0 + 2.0 * jax.random.randint(ks[7], (n,), 0, 3).astype(jnp.float32)
+    )
     params = params.at[:, 10].set(g(ks[8]))
     params = params.at[:, 11].set(u(ks[9], -0.2, 0.2))
     params = params.at[:, 12].set(u(ks[10], -0.2, 0.2))
@@ -194,8 +253,9 @@ def pretrain_photometric_pallas(
     seeds = jax.random.randint(
         jax.random.fold_in(key, 1), (n,), minval=0, maxval=2**31 - 1, dtype=jnp.int32
     )
-    img_spec = pl.BlockSpec((1, h, w, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((n, h, w, c), jnp.float32)
+    planar = imgs.transpose(0, 3, 1, 2)  # (N, 3, H, W)
+    img_spec = pl.BlockSpec((1, c, h, w), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, c, h, w), jnp.float32)
     if noise is None:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # seeds, params live whole in SMEM
@@ -203,20 +263,34 @@ def pretrain_photometric_pallas(
             in_specs=[img_spec],
             out_specs=img_spec,
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             _kernel_prng, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret
-        )(seeds, params, imgs)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n,),
-        in_specs=[img_spec, img_spec],
-        out_specs=img_spec,
-    )
-    return pl.pallas_call(
-        _kernel_noise_input, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret
-    )(seeds, params, imgs, noise)
+        )(seeds, params, planar)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n,),
+            in_specs=[img_spec, img_spec],
+            out_specs=img_spec,
+        )
+        out = pl.pallas_call(
+            _kernel_noise_input, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(seeds, params, planar, noise.transpose(0, 3, 1, 2))
+    return out.transpose(0, 2, 3, 1)
 
 
 def reference_chain(imgs: jnp.ndarray, params: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
-    """Pure-jnp oracle of the kernel's math (same params/noise), for tests."""
-    return jax.vmap(_chain)(imgs, params, noise)
+    """Pure-jnp oracle of the kernel's math (same params/noise), for tests.
+
+    imgs/noise: (N, H, W, 3) NHWC.
+    """
+
+    def one(img, p, nz):
+        r, g, b = _chain_planes(
+            img[..., 0], img[..., 1], img[..., 2], p,
+            nz[..., 0], nz[..., 1], nz[..., 2],
+        )
+        return jnp.stack([r, g, b], axis=-1)
+
+    return jax.vmap(one)(imgs, params, noise)

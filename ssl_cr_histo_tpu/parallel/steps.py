@@ -67,6 +67,7 @@ def make_pretrain_step(
     n_aug: int = 2,
     m_aug: float = 3.0,
     aug_mode: str = "fused",
+    photometric: str = "xla",
     mean=aug_batch.DEFAULT_MEAN,
     std=aug_batch.DEFAULT_STD,
 ) -> Callable:
@@ -100,7 +101,9 @@ def make_pretrain_step(
         kperm, kaug = jax.random.split(key)
         b = tiles_u8.shape[0]
         if augment == "v1":
-            tiles = aug_batch.augment_rsp_batch_v1(kaug, tiles_u8, mode=aug_mode)
+            tiles = aug_batch.augment_rsp_batch_v1(
+                kaug, tiles_u8, mode=aug_mode, photometric=photometric
+            )
         elif augment == "v2":
             tiles = aug_batch.augment_rsp_batch_v2(
                 kaug, tiles_u8, n=n_aug, m=m_aug, mode=aug_mode

@@ -202,6 +202,62 @@ def load_torch_triplet_checkpoint(ckpt_path: str, map_key: str = "model") -> Tup
     return params, stats
 
 
+def export_torch_state_dict(model_params: dict, batch_stats: dict) -> Dict[str, Any]:
+    """Inverse of the importer: flax TripletNet (params, batch_stats) ->
+    a torch state_dict with torchvision naming ('model.*' backbone +
+    'fc.{0,2}.*' pairwise head), for interop with reference tooling."""
+    sd: Dict[str, Any] = {}
+
+    def walk(tree, path):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+            else:
+                leaves[path + (k,)] = np.asarray(v)
+
+    leaves: Dict[tuple, np.ndarray] = {}
+    walk(model_params.get("backbone", {}), ())
+    stats_leaves: Dict[tuple, np.ndarray] = {}
+    leaves_store = leaves
+    leaves = stats_leaves
+    walk(batch_stats.get("backbone", {}), ())
+    leaves = leaves_store
+
+    def torch_name(path: tuple) -> str:
+        parts = list(path)
+        if parts[0].startswith("layer") and "_" in parts[0]:
+            stage, block = parts[0].split("_")
+            parts = [stage, block] + parts[1:]
+        name = []
+        for p in parts[:-1]:
+            if p == "downsample_conv":
+                name.append("downsample.0")
+            elif p == "downsample_bn":
+                name.append("downsample.1")
+            else:
+                name.append(p)
+        leaf = parts[-1]
+        leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                    "mean": "running_mean", "var": "running_var"}
+        return "model." + ".".join(name) + "." + leaf_map[leaf]
+
+    for path, v in leaves_store.items():
+        if path[-1] == "kernel" and v.ndim == 4:
+            v = v.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        elif path[-1] == "kernel":
+            v = v.T
+        sd[torch_name(path)] = v
+    for path, v in stats_leaves.items():
+        sd[torch_name(path)] = v
+
+    fc = model_params.get("fc", {})
+    for flax_name, idx in (("fc1", 0), ("fc2", 2)):
+        if flax_name in fc:
+            sd[f"fc.{idx}.weight"] = np.asarray(fc[flax_name]["kernel"]).T
+            sd[f"fc.{idx}.bias"] = np.asarray(fc[flax_name]["bias"])
+    return sd
+
+
 def load_torch_linear_head(ckpt_path: str, map_key: str, torch_name: str = "classifier.0") -> dict:
     """Import a reference head (Classifier / FinetuneResNet) state_dict."""
     import torch

@@ -167,3 +167,23 @@ def test_torch_import_structure_matches_init(torch_ckpt):
         jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(ref["params"])
     ):
         assert a.shape == b.shape
+
+
+def test_export_import_roundtrip(torch_ckpt, tmp_path):
+    """flax -> torch state_dict -> flax round-trips exactly."""
+    path, _ = torch_ckpt
+    from ssl_cr_histo_tpu.train.checkpoint import export_torch_state_dict
+
+    params, stats = load_torch_triplet_checkpoint(path)
+    sd = export_torch_state_dict(params, stats)
+    out = tmp_path / "export.pth"
+    torch.save({"model": sd}, str(out))
+    params2, stats2 = load_torch_triplet_checkpoint(str(out))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(stats), jax.tree_util.tree_leaves(stats2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

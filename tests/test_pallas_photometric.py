@@ -1,7 +1,8 @@
-"""Pallas photometric kernel: interpret-mode math vs the jnp oracle.
+"""Pallas photometric kernel: interpret-mode math vs independent oracles.
 
 The PRNG variant only lowers on real TPUs; these tests pin the kernel's
-arithmetic via the noise-input variant in interpret mode."""
+arithmetic via the noise-input variant in interpret mode, and each stage
+against the independently-implemented ops it must match."""
 
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,11 @@ import numpy as np
 
 from ssl_cr_histo_tpu.ops import pallas_photometric as PP
 from ssl_cr_histo_tpu.ops import photometric as P
+from ssl_cr_histo_tpu.ops import stain
+
+
+def _planes(img):
+    return img[..., 0], img[..., 1], img[..., 2]
 
 
 def test_kernel_matches_oracle():
@@ -22,23 +28,47 @@ def test_kernel_matches_oracle():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
-def test_vmem_blur_matches_conv_blur():
+def test_chain_matches_independent_ops():
+    """Full chain vs a composition of the independent ops implementations
+    with identical parameters (all gates on)."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((32, 32, 3)).astype(np.float32))
+    noise = jnp.asarray(rng.normal(0, 1, (32, 32, 3)).astype(np.float32))
+    p = np.zeros(PP.N_PARAMS, np.float32)
+    p[0], p[1], p[2], p[3] = 5.0, 10.0, -8.0, 1.0  # hsv + gate
+    p[4], p[5] = 0.05, 1.0  # noise
+    p[6], p[7], p[8] = 0.02, -0.01, 0.005  # hed
+    p[9], p[10] = 5.0, 1.0  # blur
+    p[11], p[12], p[13] = 0.1, -0.05, 1.0  # brightness/contrast
+    got = jnp.stack(
+        PP._chain_planes(*_planes(img), jnp.asarray(p), *_planes(noise)), axis=-1
+    )
+
+    want = P.hsv_shift(img, 5.0, 10.0, -8.0)
+    want = jnp.clip(want + noise * 0.05, 0, 1)
+    want = stain.hed_shift(want, 0.02, -0.01, 0.005)
+    want = P.box_blur(want, 5, max_ksize=7)
+    want = P.brightness_contrast(want, brightness=0.1, contrast=-0.05)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_plane_blur_matches_conv_blur():
     rng = np.random.default_rng(1)
     img = jnp.asarray(rng.random((32, 32, 3)).astype(np.float32))
     for k in (3, 5, 7):
-        a = PP._box_blur_vmem(img, jnp.float32(k))
-        b = P.box_blur(img, k, max_ksize=7)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        got = jnp.stack(
+            [PP._box_blur_plane(img[..., c], jnp.float32(k)) for c in range(3)], -1
+        )
+        want = P.box_blur(img, k, max_ksize=7)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
-def test_hed_scalar_matches_stain():
-    from ssl_cr_histo_tpu.ops import stain
-
+def test_hed_planes_matches_stain():
     rng = np.random.default_rng(2)
     img = jnp.asarray(rng.random((16, 16, 3)).astype(np.float32))
-    a = PP._hed_shift_scalar(img, 0.02, -0.01, 0.005)
-    b = stain.hed_shift(img, 0.02, -0.01, 0.005)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    got = jnp.stack(PP._hed_shift_planes(*_planes(img), 0.02, -0.01, 0.005), -1)
+    want = stain.hed_shift(img, 0.02, -0.01, 0.005)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
 def test_draw_params_distributions():
