@@ -61,20 +61,26 @@ def main():
     state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=tile)
     # pallas photometric backend: the VMEM-resident fused chain (12% faster
     # end-to-end than the XLA chain on v5e; TPU-only, which bench always is)
-    step = S.make_pretrain_step(model, clf, tx, augment="v1", photometric="pallas")
+    step = S.make_pretrain_step(
+        model, clf, tx, augment="v1", photometric="pallas", joint_encode=True
+    )
 
     # compile + warmup.  NOTE: block_until_ready does not reliably
-    # synchronize on the axon tunnel platform, so every timing below forces a
-    # scalar device->host transfer instead.
+    # synchronize on the axon tunnel platform; a scalar device->host fetch
+    # is the only hard sync.  The timed loop chains steps through the state
+    # data dependency and fetches ONCE at the end — the final fetch cannot
+    # complete until every step has executed, and this matches how training
+    # actually runs (no per-step host sync).
     state, metrics = step(state, tiles, jax.random.PRNGKey(0))
     float(metrics["loss"])
 
-    iters = 10
+    iters = 20
     t0 = time.time()
     for i in range(iters):
         state, metrics = step(state, tiles, jax.random.PRNGKey(i + 1))
-        float(metrics["loss"])
+    final_loss = float(metrics["loss"])  # hard sync of the whole chain
     dt = (time.time() - t0) / iters
+    assert final_loss == final_loss, "loss is NaN"
 
     patches_per_step = batch_size * 3
     value = patches_per_step / dt

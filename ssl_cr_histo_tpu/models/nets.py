@@ -76,6 +76,23 @@ class TripletNet(nn.Module):
         f = self.fc(jnp.concatenate([e, e], axis=-1))
         return jnp.concatenate([f, f, f], axis=-1)
 
+    def forward_joint(self, tiles, train: bool = True):
+        """Triplet forward with ONE batched backbone pass over the 3 views
+        (tiles: (B, 3, H, W, C)).  ~2x faster fwd/bwd on TPU than three
+        separate passes, at the cost of BatchNorm batch statistics being
+        computed jointly across the 3 resolutions rather than per view (the
+        reference computes per-view stats — models/net.py:50-53).  Eval-mode
+        results are identical."""
+        b = tiles.shape[0]
+        flat = tiles.reshape((b * 3,) + tiles.shape[2:])
+        e = self.backbone(flat, train=train)
+        e = e.reshape(b, 3, -1)
+        e1, e2, e3 = e[:, 0], e[:, 1], e[:, 2]
+        f12 = self.fc(jnp.concatenate([e1, e2], axis=-1))
+        f23 = self.fc(jnp.concatenate([e2, e3], axis=-1))
+        f13 = self.fc(jnp.concatenate([e1, e3], axis=-1))
+        return jnp.concatenate([f12, f23, f13], axis=-1)
+
 
 # Alias kept for reference-API familiarity; use method="encode_single".
 TripletNetFinetune = TripletNet

@@ -68,6 +68,7 @@ def make_pretrain_step(
     m_aug: float = 3.0,
     aug_mode: str = "fused",
     photometric: str = "xla",
+    joint_encode: bool = False,
     mean=aug_batch.DEFAULT_MEAN,
     std=aug_batch.DEFAULT_STD,
 ) -> Callable:
@@ -83,14 +84,22 @@ def make_pretrain_step(
 
     def loss_fn(params, batch_stats, tiles, labels):
         variables = {"params": params["model"], "batch_stats": batch_stats}
-        feats, mutated = model.apply(
-            variables,
-            tiles[:, 0],
-            tiles[:, 1],
-            tiles[:, 2],
-            train=True,
-            mutable=["batch_stats"],
-        )
+        if joint_encode:
+            # one batched backbone pass over the 3 views (see
+            # models.nets.TripletNet.forward_joint for the BN caveat)
+            feats, mutated = model.apply(
+                variables, tiles, train=True, mutable=["batch_stats"],
+                method=model.forward_joint,
+            )
+        else:
+            feats, mutated = model.apply(
+                variables,
+                tiles[:, 0],
+                tiles[:, 1],
+                tiles[:, 2],
+                train=True,
+                mutable=["batch_stats"],
+            )
         logits = classifier.apply({"params": params["head"]}, feats)
         loss = cross_entropy(logits, labels)
         acc = jnp.mean(jnp.argmax(logits, -1) == labels)

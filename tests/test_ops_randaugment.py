@@ -119,3 +119,22 @@ def test_fused_batch_modes_match_shapes():
         assert out.shape == (2, 3, 32, 32, 3)
         w, s = batch.transform_fix_batch(key, u8[:, 0], n=2, mode=mode)
         assert w.shape == (2, 32, 32, 3) and s.shape == (2, 32, 32, 3)
+
+
+def test_fused_and_exact_distributions_agree():
+    """Fused and exact pretraining augmentation should produce similar
+    output statistics over a batch (same parameter distributions; different
+    composition order)."""
+    rng = np.random.default_rng(7)
+    u8 = (rng.random((24, 3, 32, 32, 3)) * 255).astype(np.uint8)
+    outs = {}
+    for mode in ("fused", "exact"):
+        acc = []
+        for seed in range(3):
+            out = batch.augment_rsp_batch_v1(jax.random.PRNGKey(seed), u8, mode=mode)
+            acc.append(np.asarray(out))
+        outs[mode] = np.concatenate(acc)
+    m_f, m_e = outs["fused"].mean(), outs["exact"].mean()
+    s_f, s_e = outs["fused"].std(), outs["exact"].std()
+    assert abs(m_f - m_e) < 0.05, (m_f, m_e)
+    assert abs(s_f - s_e) < 0.05, (s_f, s_e)

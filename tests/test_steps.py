@@ -179,3 +179,26 @@ def test_data_parallel_equivalence(toy_batch):
         np.asarray(s8.params["head"]["fc2"]["kernel"]),
         atol=1e-5,
     )
+
+
+def test_joint_encode_eval_equivalence(toy_batch):
+    """forward_joint == separate triple forward in eval mode (identical BN
+    running stats)."""
+    model = TripletNet("resnet18")
+    tiles = jnp.asarray(toy_batch[:2].astype(np.float32) / 255.0)
+    variables = model.init(
+        jax.random.PRNGKey(0), tiles[:, 0], tiles[:, 1], tiles[:, 2], train=False
+    )
+    sep = model.apply(variables, tiles[:, 0], tiles[:, 1], tiles[:, 2], train=False)
+    joint = model.apply(variables, tiles, train=False, method=model.forward_joint)
+    np.testing.assert_allclose(np.asarray(sep), np.asarray(joint), atol=1e-5)
+
+
+def test_pretrain_step_joint_encode_runs(toy_batch):
+    model = TripletNet("resnet18")
+    clf = Classifier(num_classes=6)
+    tx = optim.adam(1e-3)
+    state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=IMG)
+    step = S.make_pretrain_step(model, clf, tx, augment=None, joint_encode=True)
+    state, m = step(state, jnp.asarray(toy_batch), jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))

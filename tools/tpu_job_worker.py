@@ -12,6 +12,9 @@ G = {"jax": jax, "jnp": jnp, "np": np}
 JOBS = "/tmp/tpu_jobs"
 seen = set()
 while True:
+    if os.path.exists(os.path.join(JOBS, "STOP")):
+        print("stop requested; exiting cleanly", flush=True)
+        break
     for name in sorted(os.listdir(JOBS)):
         if not name.endswith(".py") or name in seen:
             continue
