@@ -58,6 +58,10 @@ def parse_args(argv=None):
                    help=">0 holds out a seeded fraction instead of a fixed "
                         "count (the v2 driver's 80/20 split, "
                         "Pretraining_v2/pretrain_RSP.py:217-218 -> 0.2)")
+    p.add_argument("--lwst_level_idx", type=int, default=1,
+                   help="thumbnail level for foreground stats, counted from "
+                        "the bottom of the pyramid (1 BreastPathQ / 5 "
+                        "Camelyon16, reference pretrain_*.py)")
     p.add_argument("--NAug", type=int, default=2, help="v2 RandAugment n")
     p.add_argument("--Magn", type=float, default=3.0, help="v2 RandAugment m")
     p.add_argument("--resume", default="")
@@ -84,6 +88,7 @@ def main(argv=None):
         tile=args.tile_h,
         stride=args.tile_stride,
         geometry=args.variant,
+        lwst_level_idx=args.lwst_level_idx,
     )
     print(f"==> indexing WSIs under {args.train_image_pth} ...")
     indices = sampler.index_directory(args.train_image_pth)

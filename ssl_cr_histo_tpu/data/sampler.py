@@ -78,12 +78,18 @@ class RSPTripletSampler:
         geometry: str = "v1",
         check_mpp: bool = True,
         levels: Tuple[int, int, int] = (2, 1, 0),
+        lwst_level_idx: int = 1,
     ):
+        """lwst_level_idx: which level (counted from the bottom of the
+        pyramid) supplies the foreground-statistics thumbnail — 1 for
+        BreastPathQ, 5 for Camelyon16 (reference dataset.py:397-400,
+        pretrain_Camelyon16.py's --lwst_level_idx)."""
         self.tile = tile
         self.stride = stride
         self.geometry = geometry
         self.check_mpp = check_mpp and geometry == "v1"  # v2 drops the check
         self.lr2, self.lr1, self.hr = levels
+        self.lwst_level_idx = lwst_level_idx
 
     # -- index construction ------------------------------------------------
 
@@ -95,7 +101,8 @@ class RSPTripletSampler:
             if pixel_scale < 1:
                 return TripletIndex(slide_path, np.zeros((0, 2), np.int64))
 
-        mu = slide_lab_mu(reader) if self.geometry == "v1" else 0.0
+        thumb_level = max(reader.level_count - self.lwst_level_idx, 0)
+        mu = slide_lab_mu(reader, thumb_level) if self.geometry == "v1" else 0.0
         iw, ih = reader.level_dimensions[self.lr2]
         t, s = self.tile, self.stride
         m = reader.level_downsamples[self.lr2]
