@@ -80,7 +80,6 @@ def build_state(args, cfg, key):
     model = TripletNet(args.model, dtype=model_dtype(args))
     head = FinetuneHead(num_classes=cfg.num_classes)
     lr = args.lr or cfg.lr
-    steps_pe = 1  # placeholder; milestones are in epochs, converted by caller
     base_tx = make_optimizer(cfg.optimizer, lr)
     tmp = init_triplet_state(model, head, base_tx, key, image_size=cfg.image_size, triplet=False)
     return model, head, tmp
@@ -119,9 +118,11 @@ def main(argv=None):
     # Stage handoff: load pretrained backbone (native or torch format).
     if args.model_path:
         if os.path.isdir(args.model_path):
+            from ssl_cr_histo_tpu.models import Classifier
+
             donor = init_triplet_state(
-                model, __import__("ssl_cr_histo_tpu.models", fromlist=["Classifier"]).Classifier(6),
-                base_tx, key, image_size=cfg.image_size,
+                model, Classifier(num_classes=6), base_tx, key,
+                image_size=cfg.image_size,
             )
             donor, _ = restore_checkpoint(args.model_path, donor)
             state = load_backbone(state, donor.params["model"], donor.batch_stats)

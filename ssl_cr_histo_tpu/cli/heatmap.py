@@ -12,6 +12,7 @@ import argparse
 import glob
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,7 +46,7 @@ def main(argv=None):
     head = FinetuneHead(num_classes=2)
     tx = optim.adam(1e-4)
     state = init_triplet_state(
-        model, head, tx, __import__("jax").random.PRNGKey(0),
+        model, head, tx, jax.random.PRNGKey(0),
         image_size=args.image_size, triplet=False,
     )
     state, _ = restore_checkpoint(args.finetune_ckpt, state)
@@ -60,8 +61,6 @@ def main(argv=None):
     sharding = batch_sharding(mesh)
 
     def forward_sharded(patches):
-        import jax
-
         try:
             patches = jax.device_put(patches, sharding)
         except ValueError:  # batch not divisible by the data axis

@@ -45,7 +45,6 @@ def augment_rsp_batch_v1(
     """
     b = triplets_u8.shape[0]
     imgs = to_float(triplets_u8)
-    keys = jax.random.split(key, b)
     if mode == "fused" and photometric == "pallas":
         from ssl_cr_histo_tpu.ops import pallas_photometric as PP
 
@@ -57,6 +56,7 @@ def augment_rsp_batch_v1(
         flat = warped.reshape(b * t, *warped.shape[2:])
         out = PP.pretrain_photometric_pallas(flat, kp)
         return out.reshape(warped.shape)
+    keys = jax.random.split(key, b)
     fn = fused.pretrain_augment_v1_fused if mode == "fused" else randaugment.pretrain_augment_v1
     return jax.vmap(fn)(imgs, keys)
 
@@ -88,7 +88,7 @@ def _three_view(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     def rot(im, ka, kp):
         angle = jax.random.uniform(ka, (), minval=-90.0, maxval=90.0)
         mat = geometry.rotation_matrix(angle, im.shape[0], im.shape[1])
-        out = geometry.warp_affine(im, mat, pad_mode="reflect101")
+        out = geometry.warp_affine_mxu(im, mat, pad_mode="reflect101")
         return jnp.where(jax.random.bernoulli(kp), out, im)
 
     v1 = img

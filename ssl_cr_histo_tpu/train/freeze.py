@@ -69,9 +69,6 @@ def freeze_labels(params: Any, modules: int, model_name: str = "resnet18") -> An
     """
     index = {path: i for i, path in enumerate(torch_param_order(model_name))}
 
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    labels = {}
-
     def label_for(path_tuple):
         i = index.get(path_tuple)
         if i is None:  # head params and anything outside the torch ordering
@@ -86,7 +83,6 @@ def freeze_labels(params: Any, modules: int, model_name: str = "resnet18") -> An
             return label_for(prefix[1:])
         return "train"
 
-    del flat
     return build(params, ())
 
 
