@@ -159,6 +159,17 @@ def main(argv=None):
         if best.update(val_metric, epoch, state, meta):
             print(f"==> new best {val_metric:.4f}")
     save_checkpoint(os.path.join(args.save_dir, "final"), state, {"epoch": args.num_epoch})
+    # The reference checkpoints both teacher and student state_dicts
+    # (eval_BreastPathQ_SSL_CR.py:519-533).  With per-epoch refresh the
+    # teacher equals the student; under --ema it differs, so persist it.
+    if args.ema > 0:
+        teacher_state = state.replace(
+            params=teacher_params, batch_stats=teacher_stats
+        )
+        save_checkpoint(
+            os.path.join(args.save_dir, "final_teacher"), teacher_state,
+            {"epoch": args.num_epoch, "role": "teacher"},
+        )
 
 
 if __name__ == "__main__":

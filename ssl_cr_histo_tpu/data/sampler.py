@@ -137,6 +137,17 @@ class RSPTripletSampler:
 
     # -- triplet reads -----------------------------------------------------
 
+    def dump_triplet_pngs(self, triplet: np.ndarray, out_dir: str, slide_name: str, patch_id: int) -> None:
+        """Optional visualization dump matching the reference's per-tile PNG
+        output layout (reference dataset.py:328-332: {out}/{slide}/{id}/
+        {hr,lr1,lr2}/{id}.png)."""
+        from PIL import Image
+
+        for name, img in zip(("hr", "lr1", "lr2"), triplet):
+            d = os.path.join(out_dir, slide_name, str(patch_id), name)
+            os.makedirs(d, exist_ok=True)
+            Image.fromarray(img).save(os.path.join(d, f"{patch_id}.png"))
+
     def read_triplet(self, reader: PyramidReader, x: int, y: int) -> np.ndarray:
         """Read one (3, tile, tile, 3) uint8 triplet [HR, LR1, LR2] at LR2
         grid position (x, y)."""

@@ -281,3 +281,13 @@ def test_batch_iterator_and_prefetch():
     out = list(P.prefetch_to_device(P.batch_iterator((imgs, labels), 2, shuffle=False)))
     assert len(out) == 5
     np.testing.assert_array_equal(np.asarray(out[0][1]), [0, 1])
+
+
+def test_dump_triplet_pngs(tmp_path):
+    from ssl_cr_histo_tpu.data.sampler import RSPTripletSampler
+
+    s = RSPTripletSampler(tile=16, stride=16, geometry="v2", check_mpp=False)
+    trip = np.zeros((3, 16, 16, 3), np.uint8)
+    s.dump_triplet_pngs(trip, str(tmp_path), "slideA", 7)
+    for name in ("hr", "lr1", "lr2"):
+        assert (tmp_path / "slideA" / "7" / name / "7.png").exists()
