@@ -159,3 +159,72 @@ def test_heatmap_cli_end_to_end(tmp_path):
     pm = np.load(out_dir / "t1.npy")
     assert pm.shape == (32, 32)
     assert (out_dir / "t1_heatmap.png").exists()
+
+
+def test_full_three_stage_pipeline(tmp_path, kather_dirs):
+    """The complete recipe: RSP pretrain -> SSL fine-tune initialized from
+    the stage-1 checkpoint -> SSL_CR consistency from the stage-2 checkpoint
+    (the reference's end-to-end workflow)."""
+    import jax
+    import numpy as np
+
+    from ssl_cr_histo_tpu.cli import consistency, finetune, pretrain
+    from ssl_cr_histo_tpu.data.wsi import synthetic_wsi
+    from ssl_cr_histo_tpu.models import Classifier, TripletNet
+    from ssl_cr_histo_tpu.train import optim
+    from ssl_cr_histo_tpu.train.checkpoint import restore_checkpoint
+    from ssl_cr_histo_tpu.train.init import init_triplet_state
+
+    # stage 1: pretrain on synthetic WSIs
+    wsi_dir = tmp_path / "wsis"
+    os.makedirs(wsi_dir)
+    for i in range(2):
+        np.save(wsi_dir / f"s{i}.npy", synthetic_wsi(768, 768, seed=i)._levels[0])
+    s1 = tmp_path / "stage1"
+    pretrain.main([
+        "--train_image_pth", str(wsi_dir), "--variant", "v2",
+        "--tile_h", "32", "--tile_w", "32", "--tile_stride", "32",
+        "--batch_size", "4", "--num_epoch", "1", "--validation_size", "2",
+        "--save_freq", "1", "--steps_per_epoch", "2", "--NAug", "2",
+        "--save_dir", str(s1), "--no-bf16",
+    ])
+
+    # stage 2: fine-tune from the stage-1 checkpoint
+    s2 = tmp_path / "stage2"
+    finetune.main([
+        "--task", "kather",
+        "--train_path", str(kather_dirs / "train"),
+        "--model_path", str(s1 / "ckpt_1"),
+        "--num_epoch", "1", "--batch_size", "8", "--modules", "60",
+        "--validation_split", "0.25", "--save_dir", str(s2), "--no-bf16",
+    ])
+    # the fine-tune checkpoint must carry the stage-1 backbone (frozen at
+    # modules=60, so weights are exactly the pretrained ones)
+    model = TripletNet("resnet18")
+    clf = Classifier(num_classes=6)
+    tx = optim.adam(1e-3)
+    tmpl1 = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=32)
+    stage1_state, _ = restore_checkpoint(str(s1 / "ckpt_1"), tmpl1)
+    from ssl_cr_histo_tpu.models import FinetuneHead
+
+    tmpl2 = init_triplet_state(
+        model, FinetuneHead(num_classes=9), tx, jax.random.PRNGKey(1),
+        image_size=224, triplet=False,
+    )
+    stage2_state, _ = restore_checkpoint(str(s2 / "final"), tmpl2)
+    np.testing.assert_array_equal(
+        np.asarray(stage1_state.params["model"]["backbone"]["conv1"]["kernel"]),
+        np.asarray(stage2_state.params["model"]["backbone"]["conv1"]["kernel"]),
+    )
+
+    # stage 3: consistency training from the stage-2 checkpoint
+    s3 = tmp_path / "stage3"
+    consistency.main([
+        "--task", "kather",
+        "--train_path", str(kather_dirs / "train"),
+        "--finetune_ckpt", str(s2 / "final"),
+        "--num_epoch", "1", "--batch_size", "4", "--mu", "2", "--NAug", "2",
+        "--labeled_train", "0.5", "--validation_split", "0.25",
+        "--save_dir", str(s3), "--no-bf16",
+    ])
+    assert (s3 / "final" / "checkpoint.msgpack").exists()
