@@ -106,6 +106,9 @@ def main(argv=None):
         n_val = int(len(flat) * args.validation_fraction)
     else:
         n_val = min(args.validation_size, len(flat) // 5)
+    if n_val == 0:
+        print("WARNING: validation holdout is empty (too few triplet "
+              "positions); val metrics will read 0.0")
     val_set = set(order[:n_val].tolist())
     train_indices, val_positions = [], []
     flat_pos = {t: k for k, t in enumerate(flat)}

@@ -164,8 +164,73 @@ def synthetic_wsi(
     return ArrayPyramid(img, levels=levels, mpp_x=mpp_x)
 
 
+class PILTiffReader:
+    """Multi-page pyramidal TIFF reader via PIL (no libopenslide needed).
+
+    Pages must be a descending-resolution pyramid (the common pyramidal-TIFF
+    layout).  Pages are decoded lazily and cached per level; suitable for
+    test fixtures and small-to-medium slides — production WSI IO should use
+    OpenSlideReader."""
+
+    def __init__(self, path: str, mpp_x: float = 0.5):
+        from PIL import Image
+
+        self._img = Image.open(path)
+        self._n = getattr(self._img, "n_frames", 1)
+        dims = []
+        for i in range(self._n):
+            self._img.seek(i)
+            dims.append(self._img.size)  # (w, h)
+        # enforce descending order
+        if any(dims[i][0] < dims[i + 1][0] for i in range(len(dims) - 1)):
+            raise ValueError(f"{path}: TIFF pages are not a descending pyramid")
+        self._dims = dims
+        self._cache: dict = {}
+        self._mpp = mpp_x
+
+    @property
+    def level_count(self) -> int:
+        return self._n
+
+    @property
+    def level_dimensions(self) -> List[Tuple[int, int]]:
+        return list(self._dims)
+
+    @property
+    def level_downsamples(self) -> List[float]:
+        w0 = self._dims[0][0]
+        return [w0 / w for (w, h) in self._dims]
+
+    @property
+    def mpp_x(self) -> float:
+        return self._mpp
+
+    def _level(self, i: int) -> np.ndarray:
+        if i not in self._cache:
+            self._img.seek(i)
+            self._cache[i] = np.asarray(self._img.convert("RGB"), dtype=np.uint8)
+        return self._cache[i]
+
+    def read_region(self, location, level, size) -> np.ndarray:
+        x0, y0 = int(location[0]), int(location[1])
+        w, h = int(size[0]), int(size[1])
+        ds = self.level_downsamples[level]
+        lx, ly = int(x0 / ds), int(y0 / ds)
+        arr = self._level(level)
+        out = np.full((h, w, 3), 255, np.uint8)
+        sy0, sy1 = max(ly, 0), min(ly + h, arr.shape[0])
+        sx0, sx1 = max(lx, 0), min(lx + w, arr.shape[1])
+        if sy1 > sy0 and sx1 > sx0:
+            out[sy0 - ly : sy1 - ly, sx0 - lx : sx1 - lx] = arr[sy0:sy1, sx0:sx1]
+        return out
+
+
 def open_slide(path: str, levels: int = 4) -> PyramidReader:
-    """Open a slide file: .npy -> ArrayPyramid; anything else -> OpenSlide."""
+    """Open a slide file: .npy -> ArrayPyramid; .tif -> OpenSlide when
+    available else the PIL pyramidal-TIFF reader; anything else ->
+    OpenSlide."""
     if path.endswith(".npy"):
         return ArrayPyramid(np.load(path), levels=levels)
+    if path.endswith((".tif", ".tiff")) and not HAS_OPENSLIDE:
+        return PILTiffReader(path)
     return OpenSlideReader(path)

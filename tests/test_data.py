@@ -291,3 +291,33 @@ def test_dump_triplet_pngs(tmp_path):
     s.dump_triplet_pngs(trip, str(tmp_path), "slideA", 7)
     for name in ("hr", "lr1", "lr2"):
         assert (tmp_path / "slideA" / "7" / name / "7.png").exists()
+
+
+def test_pil_tiff_pyramid_reader(tmp_path):
+    from PIL import Image
+
+    from ssl_cr_histo_tpu.data.wsi import PILTiffReader, open_slide
+
+    rng = np.random.default_rng(0)
+    level0 = (rng.random((256, 512, 3)) * 255).astype(np.uint8)
+    pages = [Image.fromarray(level0)]
+    for k in (2, 4):
+        pages.append(Image.fromarray(level0[::k, ::k]))
+    path = tmp_path / "slide.tif"
+    pages[0].save(str(path), save_all=True, append_images=pages[1:])
+
+    r = open_slide(str(path))
+    assert isinstance(r, PILTiffReader)
+    assert r.level_count == 3
+    assert r.level_dimensions[0] == (512, 256)
+    assert r.level_downsamples[1] == pytest.approx(2.0)
+    region = r.read_region((100, 40), 0, (64, 32))
+    np.testing.assert_array_equal(region, level0[40:72, 100:164])
+    region1 = r.read_region((100, 40), 1, (16, 16))
+    np.testing.assert_array_equal(region1, level0[::2, ::2][20:36, 50:66])
+    # sampler works end-to-end on the tif
+    from ssl_cr_histo_tpu.data.sampler import RSPTripletSampler
+
+    s = RSPTripletSampler(tile=32, stride=32, geometry="v2", check_mpp=False)
+    trip = s.read_triplet(r, 8, 8)
+    assert trip.shape == (3, 32, 32, 3)
