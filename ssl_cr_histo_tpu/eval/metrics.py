@@ -16,7 +16,7 @@ Covers everything the reference computes inline in its eval scripts:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

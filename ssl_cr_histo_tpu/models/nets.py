@@ -22,7 +22,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ssl_cr_histo_tpu.models.resnet import RESNET_FEATURE_DIM, make_backbone
+from ssl_cr_histo_tpu.models.resnet import make_backbone
 
 _FC_DIMS = {"resnet18": (1024, 512, 256), "resnet50": (4096, 1024, 512)}
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ssl_cr_histo_tpu.ops import geometry, photometric, stain
+from ssl_cr_histo_tpu.ops import geometry, photometric
 from ssl_cr_histo_tpu.ops.randaugment import _hed_color, _mag_v1
 
 

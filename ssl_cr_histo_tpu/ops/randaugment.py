@@ -19,8 +19,6 @@ entry points live in ``ssl_cr_histo_tpu.ops.batch``.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -18,8 +18,6 @@ from __future__ import annotations
 import contextlib
 import time
 from dataclasses import dataclass, field
-from typing import Optional
-
 
 @contextlib.contextmanager
 def trace(logdir: str):

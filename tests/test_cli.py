@@ -228,3 +228,23 @@ def test_full_three_stage_pipeline(tmp_path, kather_dirs):
         "--save_dir", str(s3), "--no-bf16",
     ])
     assert (s3 / "final" / "checkpoint.msgpack").exists()
+
+
+def test_convert_annotations_cli(tmp_path):
+    from ssl_cr_histo_tpu.cli import convert_annotations
+
+    xml_dir = tmp_path / "xml"
+    json_dir = tmp_path / "json"
+    os.makedirs(xml_dir)
+    (xml_dir / "tumor_001.xml").write_text(
+        """<?xml version="1.0"?>
+<ASAP_Annotations><Annotations>
+ <Annotation Name="A0" PartOfGroup="Tumor"><Coordinates>
+  <Coordinate Order="0" X="1" Y="2"/><Coordinate Order="1" X="30" Y="2"/>
+  <Coordinate Order="2" X="30" Y="40"/>
+ </Coordinates></Annotation>
+</Annotations></ASAP_Annotations>"""
+    )
+    convert_annotations.main(["--xml_dir", str(xml_dir), "--json_dir", str(json_dir)])
+    doc = json.loads((json_dir / "tumor_001.json").read_text())
+    assert len(doc["positive"]) == 1
