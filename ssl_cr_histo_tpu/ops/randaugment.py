@@ -15,6 +15,12 @@ to reproduce the training distribution.
 
 Single-image functions operate on (H, W, 3) float32 RGB in [0, 1]; batch
 entry points live in ``ssl_cr_histo_tpu.ops.batch``.
+
+Even in exact (op-by-op) mode, bilinear resamples go through the MXU
+two-pass warp (ops.geometry.warp_affine_mxu) — op semantics and ordering are
+preserved; only the interpolation decomposition differs (tolerance-tested).
+The v2 pool's PIL-nearest ops keep the direct gather resampler for
+bit-faithful nearest sampling.
 """
 
 from __future__ import annotations
@@ -85,7 +91,7 @@ def _v1_shift_scale_rotate(img, v, key):
         h=h,
         w=w,
     )
-    out = geometry.warp_affine(img, mat, pad_mode="reflect101")
+    out = geometry.warp_affine_mxu(img, mat, pad_mode="reflect101")
     return _maybe(kp, out, img)
 
 
@@ -153,7 +159,7 @@ def _v1_rotate_crop(img, v, key):
     img = _random_flip(img, kf)
     angle = jax.random.uniform(ka, (), minval=-val, maxval=val)
     mat = geometry.rotation_matrix(angle, img.shape[0], img.shape[1])
-    out = geometry.warp_affine(img, mat, pad_mode="reflect101")
+    out = geometry.warp_affine_mxu(img, mat, pad_mode="reflect101")
     return _maybe(kp, out, img)
 
 
@@ -226,7 +232,7 @@ def _p_scale_resize_crop(img, key):
     s = img.shape[0]
     angle = jax.random.uniform(ka, (), minval=-90.0, maxval=90.0)
     mat = geometry.rotation_matrix(angle, s, s)
-    img = _maybe(kp, geometry.warp_affine(img, mat, pad_mode="reflect101"), img)
+    img = _maybe(kp, geometry.warp_affine_mxu(img, mat, pad_mode="reflect101"), img)
     big = geometry.resize(img, s + 20, s + 20)
     return geometry.random_crop(big, kc, s, s)
 
@@ -243,7 +249,7 @@ def _p_shift_scale_rotate(img, key):
         h=h,
         w=w,
     )
-    out = geometry.warp_affine(img, mat, pad_mode="reflect101")
+    out = geometry.warp_affine_mxu(img, mat, pad_mode="reflect101")
     return _maybe(kp, out, img)
 
 
@@ -271,7 +277,7 @@ def _p_rotate_crop(img, key):
     ka, kp = jax.random.split(key)
     angle = jax.random.uniform(ka, (), minval=-90.0, maxval=90.0)
     mat = geometry.rotation_matrix(angle, img.shape[0], img.shape[1])
-    return _maybe(kp, geometry.warp_affine(img, mat, pad_mode="reflect101"), img)
+    return _maybe(kp, geometry.warp_affine_mxu(img, mat, pad_mode="reflect101"), img)
 
 
 PRETRAIN_POOL_V1 = [
