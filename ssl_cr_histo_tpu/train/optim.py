@@ -44,6 +44,17 @@ def sgd_nesterov(
     )
 
 
+def radam(learning_rate, weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """RAdam (rectified Adam).  The reference vendors the full RAdam repo but
+    never instantiates the optimizer (SURVEY C24 — only Lookahead is
+    imported); provided here for completeness via optax."""
+    if weight_decay:
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay), optax.radam(learning_rate)
+        )
+    return optax.radam(learning_rate)
+
+
 def adam(learning_rate, weight_decay: float = 0.0) -> optax.GradientTransformation:
     if weight_decay:
         return optax.chain(

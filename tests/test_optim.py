@@ -66,3 +66,13 @@ def test_lookahead_epoch_sync():
     np.testing.assert_allclose(np.asarray(p["w"]), [2.0])
     np.testing.assert_allclose(np.asarray(s["w"]), [2.0])
     assert int(c) == 0
+
+
+def test_radam_runs():
+    import jax.numpy as jnp
+
+    p = jnp.array([1.0])
+    tx = optim.radam(1e-3)
+    st = tx.init(p)
+    up, _ = tx.update(jnp.array([0.5]), st, p)
+    assert np.isfinite(np.asarray(up)).all()
