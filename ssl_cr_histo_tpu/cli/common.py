@@ -76,8 +76,10 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="bfloat16 backbone compute (params stay f32)")
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
     parser.add_argument(
-        "--aug_mode", default="fused", choices=["fused", "exact"],
-        help="fused = single-warp TPU fast path; exact = op-by-op reference semantics",
+        "--aug_mode", default="fused", choices=["fused", "fast", "exact"],
+        help="fused = single-warp TPU fast path; fast = masked-application "
+             "v2 variant (exact selection law, canonical op order); exact = "
+             "op-by-op reference semantics",
     )
     parser.add_argument(
         "--photometric", default="xla", choices=["xla", "pallas"],

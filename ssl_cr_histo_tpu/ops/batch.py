@@ -70,7 +70,11 @@ def augment_rsp_batch_v2(
     b, t = triplets_u8.shape[0], triplets_u8.shape[1]
     imgs = to_float(triplets_u8)
     keys = jax.random.split(key, b * t).reshape(b, t, 2)
-    ra = fused.randaugment_v2_fused if mode == "fused" else randaugment.randaugment_v2
+    ra = {
+        "fused": fused.randaugment_v2_fused,
+        "fast": fused.randaugment_v2_masked,
+        "exact": randaugment.randaugment_v2,
+    }[mode]
 
     def per_tile(img, k):
         return ra(img, k, n=n, m=m)

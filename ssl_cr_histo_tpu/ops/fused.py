@@ -287,6 +287,15 @@ def transform_fix_fused(img: jnp.ndarray, key: jax.Array, n: int = 7, m: int = 1
 # ---------------------------------------------------------------------------
 # v2 RandAugment, fused (Pretraining_v2/models/randaugment.py:176-213)
 # ---------------------------------------------------------------------------
+#
+# Two fused variants:
+#   * randaugment_v2_fused      — scan over n stages, one 14-way switch per
+#     stage.  Under vmap every branch executes per stage (n x 14 op bodies).
+#   * randaugment_v2_masked     — draw the EXACT without-replacement
+#     selection set (rank-of-permutation < n gives the same joint law as
+#     random.sample), then apply every op ONCE in canonical order under its
+#     selection mask (14 op bodies total, ~n x cheaper).  Only the op
+#     ORDER distribution differs from the reference.
 
 
 def randaugment_v2_fused(img: jnp.ndarray, key: jax.Array, n: int, m: float) -> jnp.ndarray:
@@ -368,4 +377,72 @@ def randaugment_v2_fused(img: jnp.ndarray, key: jax.Array, n: int, m: float) -> 
         return (im, g), None
 
     (img, g), _ = jax.lax.scan(stage, (img, _identity3()), (order, vals, kparams))
+    return geometry.warp_affine_mxu(img, g, pad_mode="constant")
+
+
+def randaugment_v2_masked(img: jnp.ndarray, key: jax.Array, n: int, m: float) -> jnp.ndarray:
+    """Masked-application fast variant of the fused v2 policy (see the block
+    comment above): each pool op runs once in canonical order, gated by its
+    exact without-replacement selection mask."""
+    from ssl_cr_histo_tpu.ops.randaugment import (
+        _MAX_LEVEL,
+        _signflip,
+        _v2_autocontrast,
+        _v2_brightness,
+        _v2_color,
+        _v2_contrast,
+        _v2_equalize,
+        _v2_hed,
+        _v2_hsv,
+        _v2_sharpness,
+    )
+
+    s = img.shape[0]
+    n_ops = 14
+    kperm, kvals, kparams = jax.random.split(key, 3)
+    # exact sample-without-replacement selection set: rank < n
+    ranks = jnp.argsort(jax.random.uniform(kperm, (n_ops,)))
+    mask = ranks < n
+    vals = jax.random.uniform(kvals, (n_ops,), minval=1.0, maxval=float(m))
+    keys = jax.random.split(kparams, n_ops)
+
+    def photo(i, f):
+        nonlocal img
+        img = jnp.where(mask[i], f(img, vals[i], keys[i]), img)
+
+    g = _identity3()
+
+    def geo(i, make):
+        nonlocal g
+        g = jnp.where(mask[i], g @ make(vals[i], keys[i]), g)
+
+    def rot_mat(v, k):
+        return geometry.rotation_matrix(_signflip(k, (v / _MAX_LEVEL) * 30.0), s, s)
+
+    def tx_mat(v, k):
+        return geometry.translation_matrix(_signflip(k, (v / _MAX_LEVEL) * 10.0), 0.0)
+
+    def ty_mat(v, k):
+        return geometry.translation_matrix(0.0, _signflip(k, (v / _MAX_LEVEL) * 10.0))
+
+    def shx_mat(v, k):
+        return geometry.shear_x_matrix(_signflip(k, (v / _MAX_LEVEL) * 0.3))
+
+    def shy_mat(v, k):
+        return geometry.shear_y_matrix(_signflip(k, (v / _MAX_LEVEL) * 0.3))
+
+    # canonical order = pool order (identity at 0 is a no-op either way)
+    photo(1, _v2_contrast)
+    photo(2, _v2_brightness)
+    photo(3, _v2_sharpness)
+    geo(4, rot_mat)
+    geo(5, tx_mat)
+    geo(6, ty_mat)
+    geo(7, shx_mat)
+    geo(8, shy_mat)
+    photo(9, _v2_hed)
+    photo(10, _v2_hsv)
+    photo(11, _v2_autocontrast)
+    photo(12, _v2_color)
+    photo(13, _v2_equalize)
     return geometry.warp_affine_mxu(img, g, pad_mode="constant")

@@ -109,8 +109,9 @@ def make_pretrain_step(
         kperm, kaug = jax.random.split(key)
         b = tiles_u8.shape[0]
         if augment == "v1":
+            v1_mode = "fused" if aug_mode == "fast" else aug_mode
             tiles = aug_batch.augment_rsp_batch_v1(
-                kaug, tiles_u8, mode=aug_mode, photometric=photometric
+                kaug, tiles_u8, mode=v1_mode, photometric=photometric
             )
         elif augment == "v2":
             tiles = aug_batch.augment_rsp_batch_v2(

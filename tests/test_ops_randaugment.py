@@ -138,3 +138,26 @@ def test_fused_and_exact_distributions_agree():
     s_f, s_e = outs["fused"].std(), outs["exact"].std()
     assert abs(m_f - m_e) < 0.05, (m_f, m_e)
     assert abs(s_f - s_e) < 0.05, (s_f, s_e)
+
+
+def test_v2_masked_mode():
+    from ssl_cr_histo_tpu.ops import fused
+
+    rng = np.random.default_rng(8)
+    img = jnp.asarray(rng.random((32, 32, 3)).astype(np.float32))
+    out = fused.randaugment_v2_masked(img, jax.random.PRNGKey(0), n=2, m=3.0)
+    assert out.shape == img.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    out2 = fused.randaugment_v2_masked(img, jax.random.PRNGKey(0), n=2, m=3.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # n=0 -> identity (no op selected, identity warp)
+    out0 = fused.randaugment_v2_masked(img, jax.random.PRNGKey(1), n=0, m=3.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(img), atol=1e-4)
+    # selection law: each op included with marginal prob n/14
+    sel = []
+    for seed in range(200):
+        ranks = jnp.argsort(jax.random.uniform(
+            jax.random.split(jax.random.PRNGKey(seed), 3)[0], (14,)))
+        sel.append(np.asarray(ranks < 2))
+    freq = np.stack(sel).mean(0)
+    assert np.all(np.abs(freq - 2 / 14) < 0.08)
