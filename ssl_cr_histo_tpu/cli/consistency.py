@@ -25,7 +25,7 @@ from ssl_cr_histo_tpu.cli.common import (
 )
 from ssl_cr_histo_tpu.cli.finetune import validate
 from ssl_cr_histo_tpu.data import datasets as D
-from ssl_cr_histo_tpu.data.pipeline import batch_iterator, prefetch_to_device
+from ssl_cr_histo_tpu.data.pipeline import prefetch_to_device
 from ssl_cr_histo_tpu.eval import metrics as M
 from ssl_cr_histo_tpu.models import FinetuneHead, TripletNet
 from ssl_cr_histo_tpu.parallel import batch_sharding, make_mesh
@@ -123,11 +123,11 @@ def main(argv=None):
                 labeled.images, labeled.labels, batch_size, seed=args.seed + epoch
             )
         else:
-            lab_it = batch_iterator(
-                (labeled.images, labeled.labels), batch_size, seed=args.seed + epoch
+            lab_it = labeled.batches(batch_size, seed=args.seed + epoch)
+        unlab_it = (
+            (imgs,) for imgs, _ in train.batches(
+                batch_size * args.mu, seed=1000 + args.seed + epoch
             )
-        unlab_it = batch_iterator(
-            (train.images,), batch_size * args.mu, seed=1000 + args.seed + epoch
         )
         key, ek = jax.random.split(key)
         # epoch length = min(len(labeled), len(unlabeled)) batches

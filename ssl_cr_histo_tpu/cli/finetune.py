@@ -20,7 +20,7 @@ from ssl_cr_histo_tpu.cli.common import (
     seed_everything,
 )
 from ssl_cr_histo_tpu.data import datasets as D
-from ssl_cr_histo_tpu.data.pipeline import batch_iterator, prefetch_to_device
+from ssl_cr_histo_tpu.data.pipeline import prefetch_to_device
 from ssl_cr_histo_tpu.eval import metrics as M
 from ssl_cr_histo_tpu.models import FinetuneHead, TripletNet
 from ssl_cr_histo_tpu.parallel import batch_sharding, make_mesh
@@ -154,7 +154,7 @@ def main(argv=None):
                 train.images, train.labels, batch_size, seed=args.seed + epoch
             )
         else:
-            it = batch_iterator((train.images, train.labels), batch_size, seed=args.seed + epoch)
+            it = train.batches(batch_size, seed=args.seed + epoch)
         for imgs, labels in prefetch_to_device(it, sharding=sharding):
             ek, sk = jax.random.split(ek)
             state, m = step(state, imgs, jnp.asarray(labels), sk)
@@ -176,9 +176,7 @@ def main(argv=None):
 
 def validate(cfg, state, val, forward, batch_size):
     outs, labels = [], []
-    for imgs, lab in batch_iterator(
-        (val.images, val.labels), batch_size, shuffle=False, drop_last=False
-    ):
+    for imgs, lab in val.batches(batch_size, shuffle=False, drop_last=False):
         pad = batch_size - len(imgs)
         if pad:
             imgs = np.concatenate([imgs, np.zeros_like(imgs[:1].repeat(pad, 0))])
@@ -199,7 +197,7 @@ def evaluate(args, cfg, state, forward):
         ds_a, labels_b = D.load_breastpathq_eval_pair(
             args.test_path, args.test_path_b or args.test_path, cfg.image_size
         )
-        preds = predict_all(state, forward, ds_a.images, cfg)
+        preds = predict_all(state, forward, ds_a, cfg)
         report = {
             "icc_MA": M.icc_two_raters(preds, ds_a.labels),
             "icc_MB": M.icc_two_raters(preds, labels_b),
@@ -228,7 +226,7 @@ def evaluate(args, cfg, state, forward):
             ds = D.load_camelyon16_patches(args.test_path, args.json_path, cfg.image_size, split=None)
         else:
             ds = D.load_kather_folder(args.test_path, cfg.image_size)
-        logits = predict_all(state, forward, ds.images, cfg, raw=True)
+        logits = predict_all(state, forward, ds, cfg, raw=True)
         preds = logits.argmax(-1)
         cm = M.confusion_matrix(ds.labels, preds, cfg.num_classes)
         probs = np.exp(logits - logits.max(-1, keepdims=True))
@@ -265,16 +263,14 @@ def evaluate(args, cfg, state, forward):
     print(f"==> wrote {out}")
 
 
-def predict_all(state, forward, images, cfg, raw=False, batch_size=64):
+def predict_all(state, forward, ds, cfg, raw=False, batch_size=64):
     outs = []
-    n = len(images)
-    for i in range(0, n, batch_size):
-        chunk = images[i : i + batch_size]
-        pad = batch_size - len(chunk)
+    for chunk, _ in ds.batches(batch_size, shuffle=False, drop_last=False):
+        n_valid = len(chunk)
+        pad = batch_size - n_valid
         if pad:
             chunk = np.concatenate([chunk, np.zeros_like(chunk[:1].repeat(pad, 0))])
-        out = np.asarray(forward(state, jnp.asarray(chunk)))[: min(batch_size, n - i)]
-        outs.append(out)
+        outs.append(np.asarray(forward(state, jnp.asarray(chunk)))[:n_valid])
     out = np.concatenate(outs)
     if cfg.task == "regression" and not raw:
         return out[:, 0]

@@ -49,6 +49,69 @@ class ArrayDataset:
     def subset(self, idx) -> "ArrayDataset":
         return ArrayDataset(self.images[idx], self.labels[idx])
 
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                drop_last: bool = True):
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        end = n - (n % batch_size) if drop_last else n
+        for i in range(0, end, batch_size):
+            sel = order[i : i + batch_size]
+            yield self.images[sel], self.labels[sel]
+
+
+@dataclass
+class LazyImageDataset:
+    """Path-backed dataset: labels are eager (splits/balancing need them),
+    pixels decode on demand with a thread pool.
+
+    The reference's Kather loaders are also lazy (paths + per-item decode in
+    DataLoader workers, dataset.py:1002-1071); eager decoding of
+    NCT-CRC-HE-100K would need ~15 GB of host RAM.
+    """
+
+    paths: list
+    labels: np.ndarray
+    image_size: int
+    decode_threads: int = 8
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def subset(self, idx) -> "LazyImageDataset":
+        idx = np.asarray(idx)
+        return LazyImageDataset(
+            [self.paths[int(i)] for i in idx], self.labels[idx],
+            self.image_size, self.decode_threads,
+        )
+
+    def decode(self, idx) -> np.ndarray:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(i):
+            img = cv2.cvtColor(
+                cv2.imread(self.paths[int(i)], cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB
+            )
+            return _resize(img, self.image_size)
+
+        with ThreadPoolExecutor(max_workers=self.decode_threads) as pool:
+            return np.stack(list(pool.map(one, np.asarray(idx))))
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                drop_last: bool = True):
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        end = n - (n % batch_size) if drop_last else n
+        for i in range(0, end, batch_size):
+            sel = order[i : i + batch_size]
+            yield self.decode(sel), self.labels[sel]
+
+    def materialize(self) -> ArrayDataset:
+        return ArrayDataset(self.decode(np.arange(len(self))), self.labels)
+
 
 def _resize(img: np.ndarray, size: int) -> np.ndarray:
     if img.shape[0] == size and img.shape[1] == size:
@@ -170,9 +233,18 @@ def load_camelyon16_patches(
 
 
 def load_kather_folder(
-    dataset_path: str, image_size: int = 224, exts: Sequence[str] = ("tif", "png", "jpg")
-) -> ArrayDataset:
-    images, labels = [], []
+    dataset_path: str,
+    image_size: int = 224,
+    exts: Sequence[str] = ("tif", "png", "jpg"),
+    lazy: str | bool = "auto",
+    lazy_threshold: int = 20000,
+):
+    """Folder-per-class loader.  lazy=True (or 'auto' above lazy_threshold
+    items) returns a LazyImageDataset that decodes per batch — matching the
+    reference's lazy per-item decode and keeping NCT-CRC-HE-100K out of host
+    RAM."""
+    all_paths: List[str] = []
+    labels: List[int] = []
     for cls_dir in sorted(glob.glob(os.path.join(dataset_path, "*/"))):
         cls = os.path.basename(os.path.dirname(cls_dir))
         label = KATHER_LABELS.get(cls, 8)  # unknown folder -> TUM, like the
@@ -181,10 +253,12 @@ def load_kather_folder(
         for ext in exts:
             paths += glob.glob(os.path.join(cls_dir, f"*.{ext}"))
         for p in sorted(paths):
-            img = cv2.cvtColor(cv2.imread(p, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
-            images.append(_resize(img, image_size))
+            all_paths.append(p)
             labels.append(label)
-    return ArrayDataset(np.stack(images), np.asarray(labels, np.int32))
+    ds = LazyImageDataset(all_paths, np.asarray(labels, np.int32), image_size)
+    if lazy is True or (lazy == "auto" and len(ds) > lazy_threshold):
+        return ds
+    return ds.materialize()
 
 
 # ---------------------------------------------------------------------------

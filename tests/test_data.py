@@ -321,3 +321,34 @@ def test_pil_tiff_pyramid_reader(tmp_path):
     s = RSPTripletSampler(tile=32, stride=32, geometry="v2", check_mpp=False)
     trip = s.read_triplet(r, 8, 8)
     assert trip.shape == (3, 32, 32, 3)
+
+
+def test_lazy_kather_dataset(tmp_path):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    for cls in ("ADI", "TUM"):
+        os.makedirs(tmp_path / cls)
+        for i in range(4):
+            cv2.imwrite(
+                str(tmp_path / cls / f"p{i}.tif"),
+                (rng.random((32, 32, 3)) * 255).astype(np.uint8),
+            )
+    lazy = D.load_kather_folder(str(tmp_path), image_size=48, lazy=True)
+    assert isinstance(lazy, D.LazyImageDataset)
+    assert len(lazy) == 8
+    # eager and lazy agree image-for-image
+    eager = D.load_kather_folder(str(tmp_path), image_size=48, lazy=False)
+    np.testing.assert_array_equal(lazy.decode(np.arange(8)), eager.images)
+    np.testing.assert_array_equal(lazy.labels, eager.labels)
+    # splits, fractions, batches work on the lazy dataset
+    tr, va = D.train_val_split(lazy, 0.25, seed=0)
+    assert len(tr) == 6 and len(va) == 2
+    sub = D.labeled_fraction(tr, 0.5, seed=0)
+    assert len(sub) == 3
+    batches = list(tr.batches(2, shuffle=True, seed=0))
+    assert len(batches) == 3
+    assert batches[0][0].shape == (2, 48, 48, 3)
+    # 'auto' returns eager below the threshold
+    auto = D.load_kather_folder(str(tmp_path), image_size=48)
+    assert isinstance(auto, D.ArrayDataset)
