@@ -40,23 +40,33 @@ from ssl_cr_histo_tpu.train.loop import BestTracker, CsvLogger
 def parse_args(argv=None):
     p = argparse.ArgumentParser("SSL_CR consistency training (TPU)")
     p.add_argument("--task", required=True, choices=list(TASKS))
-    p.add_argument("--train_path", required=True)
+    p.add_argument("--mode", default="fine-tuning", choices=["fine-tuning", "evaluation"])
+    p.add_argument("--train_path", default="")
     p.add_argument("--json_path", default="")
-    p.add_argument("--finetune_ckpt", required=True,
+    p.add_argument("--test_path", default="", help="eval data dir (mode=evaluation)")
+    p.add_argument("--test_path_b", default="", help="BreastPathQ second-rater dir")
+    p.add_argument("--finetune_ckpt", default="",
                    help="stage-2 checkpoint initializing BOTH teacher and student "
                         "(reference eval_BreastPathQ_SSL_CR.py:391-402)")
+    p.add_argument("--eval_ckpt", default="",
+                   help="trained CR checkpoint to evaluate (mode=evaluation, "
+                        "reference eval_Kather_SSL_CR.py:643-666)")
     p.add_argument("--mu", type=int, default=7, help="unlabeled batch multiplier")
     p.add_argument("--NAug", type=int, default=7)
     p.add_argument("--lambda_u", type=float, default=1.0)
     p.add_argument("--modules_student", type=int, default=60)
     p.add_argument("--labeled_train", type=float, default=0.1)
+    p.add_argument("--labeled_views", type=int, default=3, choices=[1, 3],
+                   help="3 = reference Supervised_train 3-view labeled branch "
+                        "(eval_Kather_SSL_CR.py:70-79); 1 = raw labeled images "
+                        "(non-reference ablation)")
     p.add_argument("--validation_split", type=float, default=0.1)
     p.add_argument("--num_epoch", type=int, default=90)
     p.add_argument("--batch_size", type=int, default=0)
     p.add_argument("--lr", type=float, default=0.0)
     p.add_argument("--ema", type=float, default=0.0,
                    help=">0 enables EMA teacher instead of per-epoch refresh "
-                        "(non-reference option)")
+                        "(non-reference option; also EMAs BN stats)")
     add_common_args(p)
     return p.parse_args(argv)
 
@@ -65,9 +75,32 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = TASKS[args.task]
     key = seed_everything(args.seed)
+    batch_size = args.batch_size or cfg.batch_size
     mesh = make_mesh()
     sharding = batch_sharding(mesh)
-    batch_size = args.batch_size or cfg.batch_size
+
+    model = TripletNet(args.model, dtype=model_dtype(args))
+    head = FinetuneHead(num_classes=cfg.num_classes)
+
+    if args.mode == "evaluation":
+        # Reference CR scripts have their own --mode evaluation with the
+        # task's test metrics incl. OVR AUC (eval_Kather_SSL_CR.py:643-666);
+        # the evaluator is shared with the finetune CLI.
+        from ssl_cr_histo_tpu.cli.finetune import evaluate
+
+        ckpt = args.eval_ckpt or args.finetune_ckpt
+        if not ckpt:
+            raise SystemExit("--eval_ckpt required for evaluation")
+        tmp_tx = make_optimizer(cfg.optimizer, args.lr or cfg.lr)
+        state = init_triplet_state(
+            model, head, tmp_tx, key, image_size=cfg.image_size, triplet=False
+        )
+        state, _ = restore_checkpoint(ckpt, state)
+        evaluate(args, cfg, state, S.make_forward_fn(model, head))
+        return
+
+    if not args.train_path or not args.finetune_ckpt:
+        raise SystemExit("--train_path and --finetune_ckpt required for fine-tuning")
 
     # Data: labeled fraction for supervision; the FULL train split is the
     # unlabeled pool (reference uses the task's unlabeled data with
@@ -82,10 +115,17 @@ def main(argv=None):
     labeled = D.labeled_fraction(train, args.labeled_train, seed=args.seed)
     print(f"==> {len(labeled)} labeled / {len(train)} unlabeled / {len(val)} val")
 
-    model = TripletNet(args.model, dtype=model_dtype(args))
-    head = FinetuneHead(num_classes=cfg.num_classes)
     lr = args.lr or cfg.lr
-    n_steps = max(len(labeled) // batch_size, 1)
+    # LR milestones in steps, from the epoch length the loop ACTUALLY uses:
+    # min(labeled batches, unlabeled batches) via zip (reference
+    # eval_Kather_SSL_CR.py:50 + per-epoch scheduler.step()); Camelyon16's
+    # labeled iterator is the balanced one (epoch = min-class count // half).
+    if cfg.name == "camelyon16":
+        counts = np.bincount(np.asarray(labeled.labels, dtype=np.int64))
+        n_labeled_batches = int(counts.min()) // max(batch_size // 2, 1)
+    else:
+        n_labeled_batches = len(labeled) // batch_size
+    n_steps = max(min(n_labeled_batches, len(train) // (batch_size * args.mu)), 1)
     sched = optim.multistep_schedule(lr, [m * n_steps for m in cfg.milestones], cfg.gamma)
     base_tx = make_optimizer(cfg.optimizer, sched)
 
@@ -98,9 +138,16 @@ def main(argv=None):
     state = state.replace(opt_state=tx.init(state.params))  # fresh optimizer
 
     teacher_params, teacher_stats = S.refresh_teacher(state)
+    # Shard-local concat groups: the data-axis size when every sub-batch
+    # (labeled views, unlabeled µB) divides it, else 1 (replicated batches).
+    n_data = int(mesh.shape["data"])
+    data_groups = n_data if (
+        batch_size % n_data == 0 and (batch_size * args.mu) % n_data == 0
+    ) else 1
     step = S.make_consistency_step(
         model, head, tx, task=cfg.task, lambda_u=args.lambda_u, n_aug=args.NAug,
-        aug_mode=args.aug_mode,
+        aug_mode=args.aug_mode, labeled_views=args.labeled_views,
+        data_groups=data_groups,
     )
     val_forward = S.make_forward_fn(model, head)
 
@@ -144,7 +191,11 @@ def main(argv=None):
             sl.update(float(m["sup"]), len(y_l))
             cl.update(float(m["cons"]), len(y_l))
             if args.ema > 0:
+                # EMA both weights AND BN running stats — otherwise the
+                # teacher would forward on frozen stage-2-era statistics
+                # while its weights drift (advisor finding, round 1).
                 teacher_params = S.ema_update(teacher_params, state.params, args.ema)
+                teacher_stats = S.ema_update(teacher_stats, state.batch_stats, args.ema)
 
         if args.ema == 0:
             teacher_params, teacher_stats = S.refresh_teacher(state)
@@ -158,10 +209,16 @@ def main(argv=None):
         meta = {"epoch": epoch, "args": vars(args), "val_metric": val_metric}
         if best.update(val_metric, epoch, state, meta):
             print(f"==> new best {val_metric:.4f}")
-    save_checkpoint(os.path.join(args.save_dir, "final"), state, {"epoch": args.num_epoch})
     # The reference checkpoints both teacher and student state_dicts
     # (eval_BreastPathQ_SSL_CR.py:519-533).  With per-epoch refresh the
-    # teacher equals the student; under --ema it differs, so persist it.
+    # teacher equals the student by construction — recorded in the meta;
+    # under --ema it differs, so persist it as its own checkpoint.
+    save_checkpoint(
+        os.path.join(args.save_dir, "final"), state,
+        {"epoch": args.num_epoch,
+         "teacher": "ema (see final_teacher)" if args.ema > 0
+         else "equals student (per-epoch refresh, eval_Kather_SSL_CR.py:582-583)"},
+    )
     if args.ema > 0:
         teacher_state = state.replace(
             params=teacher_params, batch_stats=teacher_stats

@@ -244,6 +244,57 @@ def make_forward_fn(model, head, mean=aug_batch.DEFAULT_MEAN, std=aug_batch.DEFA
 # ---------------------------------------------------------------------------
 
 
+def grouped_concat(parts, groups: int) -> jnp.ndarray:
+    """Batch-dim concat that stays LOCAL on a batch-sharded mesh.
+
+    A plain ``jnp.concatenate([x_l, strong])`` over arrays sharded on dim 0
+    forces XLA SPMD to reshard (all-to-all + collective-permute per step —
+    wasted ICI on a pod, and a rendezvous deadlock on the virtual CPU mesh).
+    With ``groups`` = the data-axis size, interleaving per device shard —
+    reshape each part to (groups, b/groups, ...), concat on the unsharded
+    dim 1, flatten back — is a pure batch-order permutation (BN statistics
+    and mean losses are order-invariant) and compiles to zero collectives.
+    ``grouped_split`` is its exact inverse, restoring the original order.
+    """
+    if groups == 1:
+        return jnp.concatenate(parts, axis=0)
+    gs = [p.reshape(groups, p.shape[0] // groups, *p.shape[1:]) for p in parts]
+    cat = jnp.concatenate(gs, axis=1)
+    return cat.reshape(-1, *cat.shape[2:])
+
+
+def grouped_split(x: jnp.ndarray, first_size: int, groups: int):
+    """Inverse of ``grouped_concat`` for two parts: returns (first, second)
+    in their original pre-concat order."""
+    if groups == 1:
+        return x[:first_size], x[first_size:]
+    g = x.reshape(groups, -1, *x.shape[1:])
+    k = first_size // groups
+    a = g[:, :k].reshape(-1, *x.shape[1:])
+    b = g[:, k:].reshape(-1, *x.shape[1:])
+    return a, b
+
+
+def expand_labeled_batch(key: jax.Array, x_l_u8: jnp.ndarray, y_l: jnp.ndarray,
+                         views: int = 3):
+    """The reference CR labeled branch: the labeled loader is the
+    *Supervised_train* dataset, so each labeled sample enters the student
+    batch as 3 augmented views with its label repeated, flattened into the
+    batch (reference eval_Kather_SSL_CR.py:321 + :70-79
+    ``inputs_x.reshape(-1, 3, 256, 256)``; same in the BPQ/Camelyon CR
+    drivers).  views=1 feeds the raw image instead (non-reference ablation).
+
+    Returns (images float32 (views*B, H, W, 3) un-normalized, labels (views*B,)).
+    """
+    if views == 1:
+        return aug_batch.to_float(x_l_u8), y_l
+    if views != 3:
+        raise ValueError("the reference 3-view stack supports views in {1, 3}")
+    stacks = aug_batch.augment_3view_batch(key, x_l_u8)  # (B, 3, H, W, 3)
+    b, v = stacks.shape[0], stacks.shape[1]
+    return stacks.reshape(b * v, *stacks.shape[2:]), jnp.repeat(y_l, v, axis=0)
+
+
 def make_consistency_step(
     model,
     head,
@@ -252,6 +303,8 @@ def make_consistency_step(
     lambda_u: float = 1.0,
     n_aug: int = 7,
     aug_mode: str = "fused",
+    labeled_views: int = 3,
+    data_groups: int = 1,
     mean=aug_batch.DEFAULT_MEAN,
     std=aug_batch.DEFAULT_STD,
 ) -> Callable:
@@ -260,11 +313,17 @@ def make_consistency_step(
 
     Teacher forwards the weak view (no grad, eval-mode BN); the student
     forwards labeled + strong views in ONE fused batch (reference :77-79).
+    The labeled branch is the reference's 3-view supervised stack with
+    repeated labels (labeled_views=3; see ``expand_labeled_batch``).
     Consistency loss: hard-pseudo-label CE for classification (:89-91), MSE
     between weak/strong logits for regression
     (eval_BreastPathQ_SSL_CR.py:93).  Teacher params live outside the
     optimizer and are refreshed per epoch by the loop (deepcopy-equivalent
     pytree copy — reference :582-583).
+
+    data_groups: size of the mesh data axis; the labeled+strong concat is
+    interleaved per device shard so it compiles with zero collectives (see
+    ``grouped_concat``).  Requires both sub-batches divisible by it.
     """
 
     def loss_fn(params, batch_stats, teacher_params, teacher_stats,
@@ -276,15 +335,16 @@ def make_consistency_step(
         logits_u_w = head.apply({"params": teacher_params["head"]}, t_feats)
         logits_u_w = jax.lax.stop_gradient(logits_u_w)
 
-        # Student on cat(labeled, strong) — one fused forward.
-        inputs = jnp.concatenate([x_l, strong], axis=0)
+        # Student on cat(labeled, strong) — one fused forward, shard-local
+        # interleaved so no resharding collective is emitted.
+        inputs = grouped_concat([x_l, strong], data_groups)
         s_vars = {"params": params["model"], "batch_stats": batch_stats}
         feats, mutated = model.apply(
             s_vars, inputs, train=True, mutable=["batch_stats"],
             method=model.encode_single,
         )
         out = head.apply({"params": params["head"]}, feats)
-        out_l, logits_u_s = out[:b_l], out[b_l:]
+        out_l, logits_u_s = grouped_split(out, b_l, data_groups)
 
         if task == "regression":
             sup = mse(out_l.squeeze(-1), y_l.astype(jnp.float32))
@@ -310,7 +370,7 @@ def make_consistency_step(
     ):
         kl, ku = jax.random.split(key)
         weak, strong = aug_batch.transform_fix_batch(ku, x_u_u8, n=n_aug, mode=aug_mode)
-        x_l = aug_batch.to_float(x_l_u8)
+        x_l, y_rep = expand_labeled_batch(kl, x_l_u8, y_l, views=labeled_views)
         x_l = aug_batch.normalize_batch(x_l, mean, std)
         weak = aug_batch.normalize_batch(weak, mean, std)
         strong = aug_batch.normalize_batch(strong, mean, std)
@@ -318,7 +378,7 @@ def make_consistency_step(
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_stats, sup, cons, metric)), grads = grad_fn(
             state.params, state.batch_stats, teacher_params, teacher_stats,
-            x_l, y_l, weak, strong,
+            x_l, y_rep, weak, strong,
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

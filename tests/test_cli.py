@@ -89,6 +89,19 @@ def test_consistency_cli_end_to_end(kather_dirs, tmp_path):
     assert (save_cr / "consistency_results.csv").exists()
     assert (save_cr / "final" / "checkpoint.msgpack").exists()
 
+    # CR evaluation mode (reference eval_Kather_SSL_CR.py:643-666): the CR
+    # checkpoint evaluates via the CR CLI with OVR AUC in the report.
+    consistency.main([
+        "--task", "kather",
+        "--mode", "evaluation",
+        "--test_path", str(kather_dirs / "test"),
+        "--eval_ckpt", str(save_cr / "final"),
+        "--save_dir", str(save_cr),
+        "--no-bf16",
+    ])
+    report = json.loads((save_cr / "kather_eval.json").read_text())
+    assert "ovr_auc" in report and "weighted_f1" in report
+
 
 def test_pretrain_cli_end_to_end(tmp_path):
     from ssl_cr_histo_tpu.cli import pretrain

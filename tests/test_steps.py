@@ -96,6 +96,68 @@ def test_finetune_regression(toy_batch):
     assert min(losses[-3:]) < losses[0]
 
 
+def test_grouped_concat_split_equivalence():
+    """grouped_concat/grouped_split with any group count are a pure batch
+    permutation + its inverse: splitting returns the original arrays, and
+    sums over the concat match the plain concat."""
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.random((12, 5)))
+    b = jnp.asarray(rng.random((8, 5)))
+    plain = jnp.concatenate([a, b], axis=0)
+    for groups in (1, 2, 4):
+        cat = S.grouped_concat([a, b], groups)
+        assert cat.shape == plain.shape
+        np.testing.assert_allclose(np.sort(np.asarray(cat), 0), np.sort(np.asarray(plain), 0))
+        a2, b2 = S.grouped_split(cat, a.shape[0], groups)
+        np.testing.assert_array_equal(np.asarray(a2), np.asarray(a))
+        np.testing.assert_array_equal(np.asarray(b2), np.asarray(b))
+
+
+def test_expand_labeled_batch_contract(toy_batch):
+    """The CR labeled branch must be 3 augmented views per sample with the
+    label repeated (reference eval_Kather_SSL_CR.py:70-79), matching
+    augment_3view_batch's output order."""
+    from ssl_cr_histo_tpu.ops import batch as aug_batch
+
+    x = jnp.asarray(toy_batch[:4, 0])
+    y = jnp.arange(4) % 9
+    key = jax.random.PRNGKey(7)
+    imgs, labels = S.expand_labeled_batch(key, x, y, views=3)
+    assert imgs.shape == (12, IMG, IMG, 3)
+    np.testing.assert_array_equal(np.asarray(labels), np.repeat(np.arange(4) % 9, 3))
+    expected = aug_batch.augment_3view_batch(key, x).reshape(12, IMG, IMG, 3)
+    np.testing.assert_allclose(np.asarray(imgs), np.asarray(expected))
+    # views=1: raw float images, labels untouched
+    imgs1, labels1 = S.expand_labeled_batch(key, x, y, views=1)
+    np.testing.assert_allclose(np.asarray(imgs1), np.asarray(x, dtype=np.float32) / 255.0)
+    np.testing.assert_array_equal(np.asarray(labels1), np.asarray(y))
+
+
+def test_consistency_grouped_equals_plain(toy_batch):
+    """One consistency step with data_groups=4 must produce the same loss and
+    params as data_groups=1 (the grouped concat is order-only)."""
+    model = TripletNet("resnet18")
+    head = FinetuneHead(num_classes=9)
+    # SGD: param delta is proportional to the gradient, so the comparison is
+    # not distorted by Adam's per-element normalization of float-reordering
+    # noise in near-zero gradient entries.
+    tx = optim.sgd_nesterov(0.01)
+    state = init_triplet_state(model, head, tx, jax.random.PRNGKey(0), image_size=IMG, triplet=False)
+    t_params, t_stats = S.refresh_teacher(state)
+    x_l = jnp.asarray(toy_batch[:4, 0])
+    y_l = jnp.arange(4) % 9
+    x_u = jnp.asarray(toy_batch[:, 0])
+    outs = []
+    for groups in (1, 4):
+        step = S.make_consistency_step(
+            model, head, tx, task="classification", n_aug=2, data_groups=groups
+        )
+        s, m = step(state, t_params, t_stats, x_l, y_l, x_u, jax.random.PRNGKey(0))
+        outs.append((float(m["loss"]), np.asarray(s.params["head"]["fc"]["kernel"])))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-5)
+
+
 def test_consistency_step_and_teacher_refresh(toy_batch):
     model = TripletNet("resnet18")
     head = FinetuneHead(num_classes=9)
