@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssl_cr_histo_tpu.cli.common import add_common_args, model_dtype, seed_everything
-from ssl_cr_histo_tpu.data.pipeline import prefetch_to_device
+from ssl_cr_histo_tpu.data.pipeline import pad_batches, prefetch_to_device
 from ssl_cr_histo_tpu.data.sampler import RSPTripletSampler
 from ssl_cr_histo_tpu.eval.metrics import AverageMeter
 from ssl_cr_histo_tpu.models import Classifier, TripletNet
@@ -175,18 +175,21 @@ def main(argv=None):
                 )
         print(f"Epoch time: {time.time() - t0:.2f} s.")
 
-        # validation: deterministic x6 permutation expansion per triplet
+        # validation: every val triplet under ALL 6 orderings (the
+        # reference's eagerly x6-expanded val set, pretrain_*.py:95-148);
+        # the final partial batch is zero-padded with a validity mask.
         val_loss, val_acc = AverageMeter(), AverageMeter()
         vb = sampler.iter_batches(
             val_positions, args.batch_size, seed=0, drop_last=False, readers=readers
         )
-        for tiles in prefetch_to_device(vb, sharding=sharding):
-            b = tiles.shape[0]
-            labels = np.tile(np.arange(6), (b + 5) // 6)[:b].astype(np.int32)
-            tiles_p = S.permute_triplets(jnp.asarray(tiles), jnp.asarray(labels))
-            m = eval_step(state, tiles_p, jnp.asarray(labels))
-            val_loss.update(float(m["loss"]), b)
-            val_acc.update(float(m["acc"]), b)
+        for tiles, valid in prefetch_to_device(
+            pad_batches(vb, args.batch_size), sharding=sharding
+        ):
+            m = eval_step(state, tiles, valid)
+            n = float(m["count"])
+            if n:
+                val_loss.update(float(m["loss_sum"]) / n, n)
+                val_acc.update(float(m["correct"]) / n, n)
 
         log.append(epoch + 1, train_loss.avg, train_acc.avg, val_loss.avg, val_acc.avg)
         state = lookahead_epoch(state, args.la_steps, args.la_alpha)
@@ -204,13 +207,15 @@ def main(argv=None):
         feats, targets = [], []
         vb = sampler.iter_batches(val_positions, args.batch_size, seed=0,
                                   drop_last=False, readers=readers)
-        for tiles in prefetch_to_device(vb, sharding=sharding):
-            b = tiles.shape[0]
-            labels = np.tile(np.arange(6), (b + 5) // 6)[:b].astype(np.int32)
-            tiles_p = S.permute_triplets(jnp.asarray(tiles), jnp.asarray(labels))
-            m = eval_step(state, tiles_p, jnp.asarray(labels))
-            feats.append(np.asarray(m["feats"]))
-            targets.append(labels)
+        for tiles, valid in prefetch_to_device(
+            pad_batches(vb, args.batch_size), sharding=sharding
+        ):
+            m = eval_step(state, tiles, valid)
+            f = np.asarray(m["feats"])  # (6, B, 768): one row set per ordering
+            keep = np.asarray(valid).astype(bool)
+            for label in range(6):
+                feats.append(f[label][keep])
+                targets.append(np.full(int(keep.sum()), label, np.int32))
         save_tsne_plot(
             np.concatenate(feats), np.concatenate(targets),
             os.path.join(args.save_dir, "tsne.png"),

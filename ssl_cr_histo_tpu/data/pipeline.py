@@ -34,6 +34,23 @@ def batch_iterator(
         yield tuple(a[sel] for a in arrays)
 
 
+def pad_batches(it: Iterable, batch_size: int) -> Iterator:
+    """Zero-pad trailing partial batches to `batch_size`, yielding
+    (batch, valid) with a float32 validity mask.  Keeps eval shapes static
+    (no recompiles) and every batch divisible for data-axis sharding;
+    consumers weight their metrics by the mask."""
+    for batch in it:
+        b = len(batch)
+        valid = np.ones(batch_size, np.float32)
+        if b != batch_size:
+            pad = batch_size - b
+            batch = np.concatenate(
+                [batch, np.zeros((pad, *np.shape(batch)[1:]), np.asarray(batch).dtype)]
+            )
+            valid[b:] = 0.0
+        yield batch, valid
+
+
 def prefetch_to_device(
     it: Iterable,
     size: int = 2,

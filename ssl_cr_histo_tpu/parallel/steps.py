@@ -141,21 +141,41 @@ def make_pretrain_step(
 
 
 def make_pretrain_eval_step(model, classifier, mean=aug_batch.DEFAULT_MEAN, std=aug_batch.DEFAULT_STD):
-    """Validation step: no augmentation, running BN stats, host-fixed labels
-    come from the deterministic x6 expansion (reference validate(),
-    pretrain_BreastPathQ.py:95-148)."""
+    """Validation step: no augmentation, running BN stats; every triplet is
+    evaluated under ALL 6 resolution-sequence orderings, matching the
+    reference's eagerly x6-expanded validation dataset (dataset.py:27-70 +
+    pretrain_BreastPathQ.py:95-148).  ``lax.map`` scans the 6 orderings so
+    device memory stays at one batch.
+
+    valid: float/bool (B,) mask for host-side padding of the final partial
+    batch (padded rows contribute zero weight).  Returns weighted SUMS
+    ('loss_sum', 'correct', 'count') for exact averaging over ragged
+    batches, plus 'feats' (6, B, 768) per-ordering features for t-SNE.
+    """
 
     @jax.jit
-    def step(state: TrainState, tiles_u8: jnp.ndarray, labels: jnp.ndarray):
+    def step(state: TrainState, tiles_u8: jnp.ndarray, valid: jnp.ndarray):
         tiles = aug_batch.normalize_batch(aug_batch.to_float(tiles_u8), mean, std)
+        b = tiles.shape[0]
+        w = valid.astype(jnp.float32)
         variables = {"params": state.params["model"], "batch_stats": state.batch_stats}
-        feats = model.apply(
-            variables, tiles[:, 0], tiles[:, 1], tiles[:, 2], train=False
-        )
-        logits = classifier.apply({"params": state.params["head"]}, feats)
-        loss = cross_entropy(logits, labels)
-        acc = jnp.mean(jnp.argmax(logits, -1) == labels)
-        return {"loss": loss, "acc": acc, "logits": logits, "feats": feats}
+
+        def eval_ordering(label):
+            tp = permute_triplets(tiles, jnp.full((b,), label, jnp.int32))
+            feats = model.apply(variables, tp[:, 0], tp[:, 1], tp[:, 2], train=False)
+            logits = classifier.apply({"params": state.params["head"]}, feats)
+            labels = jnp.full((b,), label, jnp.int32)
+            losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+            return jnp.sum(losses * w), jnp.sum(correct * w), feats
+
+        loss_sums, corrects, feats = jax.lax.map(eval_ordering, jnp.arange(6))
+        return {
+            "loss_sum": jnp.sum(loss_sums),
+            "correct": jnp.sum(corrects),
+            "count": 6.0 * jnp.sum(w),
+            "feats": feats,
+        }
 
     return step
 

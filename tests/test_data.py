@@ -283,6 +283,18 @@ def test_batch_iterator_and_prefetch():
     np.testing.assert_array_equal(np.asarray(out[0][1]), [0, 1])
 
 
+def test_pad_batches():
+    imgs = np.arange(10 * 4).reshape(10, 4).astype(np.uint8)
+    it = (b[0] for b in P.batch_iterator((imgs,), 4, shuffle=False, drop_last=False))
+    out = list(P.pad_batches(it, batch_size=4))
+    assert len(out) == 3
+    for batch, valid in out:
+        assert batch.shape == (4, 4) and valid.shape == (4,)
+    last, valid = out[-1]
+    np.testing.assert_array_equal(valid, [1, 1, 0, 0])
+    np.testing.assert_array_equal(last[2:], 0)
+
+
 def test_dump_triplet_pngs(tmp_path):
     from ssl_cr_histo_tpu.data.sampler import RSPTripletSampler
 

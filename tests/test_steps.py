@@ -56,6 +56,29 @@ def test_pretrain_step_with_augment_runs(toy_batch):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_pretrain_eval_x6_semantics(toy_batch):
+    """Validation evaluates every triplet under all 6 orderings (count = 6x
+    valid rows) and is invariant to the padded rows' contents."""
+    model = TripletNet("resnet18")
+    clf = Classifier(num_classes=6)
+    tx = optim.adam(1e-3)
+    state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=IMG)
+    step = S.make_pretrain_eval_step(model, clf)
+
+    tiles = jnp.asarray(toy_batch[:4])
+    valid = jnp.array([1.0, 1.0, 1.0, 0.0])
+    m = step(state, tiles, valid)
+    assert float(m["count"]) == 6 * 3
+    assert np.isfinite(float(m["loss_sum"]))
+    assert m["feats"].shape == (6, 4, 768)
+
+    # padding-invariance: garbage in the masked row must not change the sums
+    tiles_g = tiles.at[3].set(255)
+    m2 = step(state, tiles_g, valid)
+    np.testing.assert_allclose(float(m["loss_sum"]), float(m2["loss_sum"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m["correct"]), float(m2["correct"]))
+
+
 def test_finetune_freezing_holds(toy_batch):
     model = TripletNet("resnet18")
     head = FinetuneHead(num_classes=9)
