@@ -51,6 +51,14 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
 
 
 def seed_everything(seed: int) -> jax.Array:
+    """Per-CLI setup: multi-host init (no-op single-process), RNG seeding,
+    and the persistent compile cache.  Every entry point calls this first,
+    so `distributed.initialize()` runs before any backend-initializing jax
+    call — the requirement for pod launches (SURVEY §2.2 DP plan; reference
+    equivalent: the DataParallel wrap, pretrain_BreastPathQ.py:231-233)."""
+    from ssl_cr_histo_tpu.parallel.distributed import initialize
+
+    initialize()
     random.seed(seed)
     np.random.seed(seed)
     enable_compilation_cache()

@@ -30,17 +30,34 @@ def initialize(
     import jax
 
     if num_processes is None and coordinator_address is None:
-        # Single process unless the environment says otherwise.
-        if not any(
-            os.environ.get(v)
-            for v in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
-        ):
+        # Single process unless the environment explicitly names a
+        # coordinator.  (TPU_WORKER_HOSTNAMES is NOT a reliable signal: the
+        # axon single-chip tunnel sets it to "localhost" in every process.)
+        coordinator_address = next(
+            (
+                os.environ[v]
+                for v in (
+                    "COORDINATOR_ADDRESS",
+                    "JAX_COORDINATOR_ADDRESS",
+                    "MEGASCALE_COORDINATOR_ADDRESS",
+                )
+                if os.environ.get(v)
+            ),
+            None,
+        )
+        if coordinator_address is None:
             return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # Already initialized (e.g. two CLI mains in one process) — keep the
+        # existing service.
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def process_count() -> int:

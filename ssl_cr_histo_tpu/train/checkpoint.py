@@ -30,7 +30,15 @@ from ssl_cr_histo_tpu.train.state import TrainState
 
 
 def save_checkpoint(path: str, state: TrainState, metadata: Optional[dict] = None) -> None:
-    """Write {path}/checkpoint.msgpack + meta.json atomically."""
+    """Write {path}/checkpoint.msgpack + meta.json atomically.
+
+    On multi-host pods only process 0 writes (params are replicated, so
+    every process holds identical state; N processes writing the same files
+    would race)."""
+    from ssl_cr_histo_tpu.parallel.distributed import is_primary
+
+    if not is_primary():
+        return
     os.makedirs(path, exist_ok=True)
     payload = flax.serialization.msgpack_serialize(
         flax.serialization.to_state_dict(state)

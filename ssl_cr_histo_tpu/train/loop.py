@@ -23,16 +23,24 @@ from ssl_cr_histo_tpu.train.state import TrainState
 
 class CsvLogger:
     """Append-only CSV with a fixed header (reference
-    pretrain_BreastPathQ.py:272-273, 289-290)."""
+    pretrain_BreastPathQ.py:272-273, 289-290).  On multi-host pods only
+    process 0 writes — metrics are all-reduced identical on every process."""
 
     def __init__(self, path: str, header: str):
+        from ssl_cr_histo_tpu.parallel.distributed import is_primary
+
+        self.primary = is_primary()
         self.path = path
+        if not self.primary:
+            return
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         if not os.path.exists(path):
             with open(path, "w") as f:
                 f.write(header.rstrip("\n") + "\n")
 
     def append(self, *values):
+        if not self.primary:
+            return
         with open(self.path, "a") as f:
             f.write(",".join(f"{v:.6f}" if isinstance(v, float) else str(v) for v in values) + "\n")
 
