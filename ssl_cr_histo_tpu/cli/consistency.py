@@ -28,7 +28,7 @@ from ssl_cr_histo_tpu.data import datasets as D
 from ssl_cr_histo_tpu.data.pipeline import prefetch_to_device
 from ssl_cr_histo_tpu.eval import metrics as M
 from ssl_cr_histo_tpu.models import FinetuneHead, TripletNet
-from ssl_cr_histo_tpu.parallel import batch_sharding, make_mesh
+from ssl_cr_histo_tpu.parallel import batch_sharding, mesh_for_batch
 from ssl_cr_histo_tpu.parallel import steps as S
 from ssl_cr_histo_tpu.train import optim
 from ssl_cr_histo_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
@@ -76,7 +76,7 @@ def main(argv=None):
     cfg = TASKS[args.task]
     key = seed_everything(args.seed)
     batch_size = args.batch_size or cfg.batch_size
-    mesh = make_mesh()
+    mesh = mesh_for_batch(batch_size)
     sharding = batch_sharding(mesh)
 
     model = TripletNet(args.model, dtype=model_dtype(args))
@@ -138,12 +138,10 @@ def main(argv=None):
     state = state.replace(opt_state=tx.init(state.params))  # fresh optimizer
 
     teacher_params, teacher_stats = S.refresh_teacher(state)
-    # Shard-local concat groups: the data-axis size when every sub-batch
-    # (labeled views, unlabeled µB) divides it, else 1 (replicated batches).
-    n_data = int(mesh.shape["data"])
-    data_groups = n_data if (
-        batch_size % n_data == 0 and (batch_size * args.mu) % n_data == 0
-    ) else 1
+    # Shard-local concat groups = the data-axis size (mesh_for_batch sizes
+    # the axis to divide batch_size, so labeled views and the unlabeled µB
+    # sub-batch are both divisible).
+    data_groups = int(mesh.shape["data"])
     step = S.make_consistency_step(
         model, head, tx, task=cfg.task, lambda_u=args.lambda_u, n_aug=args.NAug,
         aug_mode=args.aug_mode, labeled_views=args.labeled_views,

@@ -23,7 +23,7 @@ from ssl_cr_histo_tpu.data import datasets as D
 from ssl_cr_histo_tpu.data.pipeline import prefetch_to_device
 from ssl_cr_histo_tpu.eval import metrics as M
 from ssl_cr_histo_tpu.models import FinetuneHead, TripletNet
-from ssl_cr_histo_tpu.parallel import batch_sharding, make_mesh
+from ssl_cr_histo_tpu.parallel import batch_sharding, mesh_for_batch
 from ssl_cr_histo_tpu.parallel import steps as S
 from ssl_cr_histo_tpu.train import optim
 from ssl_cr_histo_tpu.train.checkpoint import (
@@ -89,9 +89,9 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = TASKS[args.task]
     key = seed_everything(args.seed)
-    mesh = make_mesh()
-    sharding = batch_sharding(mesh)
     batch_size = args.batch_size or cfg.batch_size
+    mesh = mesh_for_batch(batch_size)
+    sharding = batch_sharding(mesh)
 
     model, head, state = build_state(args, cfg, key)
 
@@ -106,7 +106,15 @@ def main(argv=None):
     train, val = load_train_data(args, cfg)
     print(f"==> {len(train)} train / {len(val)} val samples")
 
-    n_steps_per_epoch = max(len(train) // batch_size, 1)
+    # LR milestones in steps, from the epoch length the loop ACTUALLY uses:
+    # Camelyon16's balanced iterator yields min-class-count // (batch/2)
+    # batches per epoch, not len(train) // batch (the reference decays per
+    # epoch at 30/60 — eval_Camelyon_SSL.py MultiStepLR).
+    if cfg.name == "camelyon16":
+        counts = np.bincount(np.asarray(train.labels, dtype=np.int64))
+        n_steps_per_epoch = max(int(counts.min()) // max(batch_size // 2, 1), 1)
+    else:
+        n_steps_per_epoch = max(len(train) // batch_size, 1)
     lr = args.lr or cfg.lr
     sched = optim.multistep_schedule(
         lr, [m * n_steps_per_epoch for m in cfg.milestones], cfg.gamma

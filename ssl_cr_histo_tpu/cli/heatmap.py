@@ -13,12 +13,15 @@ import glob
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ssl_cr_histo_tpu.cli.common import add_common_args, model_dtype, seed_everything
 from ssl_cr_histo_tpu.data.wsi import open_slide
-from ssl_cr_histo_tpu.eval.heatmap import compute_probs_map, save_heatmap_artifacts
+from ssl_cr_histo_tpu.eval.heatmap import (
+    compute_probs_map,
+    pair_wsi_masks,
+    save_heatmap_artifacts,
+)
 from ssl_cr_histo_tpu.models import FinetuneHead, TripletNet
 from ssl_cr_histo_tpu.parallel import steps as S
 from ssl_cr_histo_tpu.train import optim
@@ -54,28 +57,27 @@ def main(argv=None):
 
     # Shard the patch grid over the data mesh axis: on a pod each chip
     # forwards its slice of the sliding window (SURVEY §2.2's spatial-tiling
-    # equivalent of sequence parallelism).
-    from ssl_cr_histo_tpu.parallel import batch_sharding, make_mesh
+    # equivalent of sequence parallelism).  Batches are always padded to
+    # batch_size (eval/heatmap.py), so sizing the mesh to the batch makes
+    # every device_put shardable — no replicate fallback.
+    from ssl_cr_histo_tpu.parallel import batch_sharding, mesh_for_batch
 
-    mesh = make_mesh()
+    mesh = mesh_for_batch(args.batch_size)
     sharding = batch_sharding(mesh)
 
     def forward_sharded(patches):
-        try:
-            patches = jax.device_put(patches, sharding)
-        except ValueError:  # batch not divisible by the data axis
-            patches = jnp.asarray(patches)
-        return forward(state, patches)
+        return forward(state, jax.device_put(patches, sharding))
 
-    wsipaths, maskpaths = [], []
+    wsipaths = []
     for ext in ("tif", "svs", "npy"):
         wsipaths += glob.glob(os.path.join(args.test_image_pth, f"*.{ext}"))
     maskpaths = glob.glob(os.path.join(args.test_mask_pth, "*.npy"))
-    wsipaths, maskpaths = sorted(wsipaths), sorted(maskpaths)
-    if len(wsipaths) != len(maskpaths):
-        raise SystemExit(f"{len(wsipaths)} WSIs vs {len(maskpaths)} masks")
+    try:
+        pairs = pair_wsi_masks(wsipaths, maskpaths)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
-    for wsi_pth, mask_pth in zip(wsipaths, maskpaths):
+    for wsi_pth, mask_pth in pairs:
         wsi_id = os.path.splitext(os.path.basename(wsi_pth))[0]
         reader = open_slide(wsi_pth)
         mask = np.load(mask_pth)

@@ -26,7 +26,7 @@ from ssl_cr_histo_tpu.data.pipeline import pad_batches, prefetch_to_device
 from ssl_cr_histo_tpu.data.sampler import RSPTripletSampler
 from ssl_cr_histo_tpu.eval.metrics import AverageMeter
 from ssl_cr_histo_tpu.models import Classifier, TripletNet
-from ssl_cr_histo_tpu.parallel import batch_sharding, make_mesh
+from ssl_cr_histo_tpu.parallel import batch_sharding, mesh_for_batch
 from ssl_cr_histo_tpu.parallel import steps as S
 from ssl_cr_histo_tpu.train import optim
 from ssl_cr_histo_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
@@ -81,7 +81,7 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     key = seed_everything(args.seed)
-    mesh = make_mesh()
+    mesh = mesh_for_batch(args.batch_size)
     sharding = batch_sharding(mesh)
 
     sampler = RSPTripletSampler(
@@ -153,17 +153,25 @@ def main(argv=None):
     )
     best = BestTracker(args.save_dir, mode="min", gate_epoch=args.best_gate_epoch)
 
-    readers: dict = {}
+    # LRU-capped slide readers: the unbounded dict kept every slide open for
+    # the whole run (unbounded FDs/page cache on TIGER-scale slide sets).
+    from ssl_cr_histo_tpu.data.wsi import ReaderCache
+
+    readers = ReaderCache(capacity=64)
     for epoch in range(start_epoch, args.num_epoch + 1):
         t0 = time.time()
         train_loss, train_acc = AverageMeter(), AverageMeter()
         batches = sampler.iter_batches(
             train_indices, args.batch_size, seed=args.seed + epoch, readers=readers
         )
+        if args.steps_per_epoch:
+            # slice BEFORE prefetching so the worker thread ends with the
+            # epoch instead of blocking on a full queue into the next one
+            import itertools
+
+            batches = itertools.islice(batches, args.steps_per_epoch)
         key, ek = jax.random.split(key)
         for bi, tiles in enumerate(prefetch_to_device(batches, sharding=sharding)):
-            if args.steps_per_epoch and bi >= args.steps_per_epoch:
-                break
             ek, sk = jax.random.split(ek)
             state, m = step(state, tiles, sk)
             train_loss.update(float(m["loss"]), tiles.shape[0])

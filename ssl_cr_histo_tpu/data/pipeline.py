@@ -56,41 +56,71 @@ def prefetch_to_device(
     size: int = 2,
     sharding: Optional[jax.sharding.Sharding] = None,
 ) -> Iterator:
-    """Run `it` on a background thread, device_put each item ahead of use."""
+    """Run `it` on a background thread, device_put each item ahead of use.
+
+    An indivisible batch (leading dim not divisible by the sharding) raises
+    immediately instead of silently replicating — a silent fallback would
+    change memory layout/perf mid-epoch on a pod.  Size the mesh with
+    ``parallel.mesh_for_batch`` or pad with ``pad_batches``.
+
+    If the consumer stops early (break / GC), the generator's cleanup stops
+    the worker thread — it would otherwise block forever on a full queue
+    with device buffers pinned, and keep reading from loader state (e.g.
+    per-slide readers) shared with the next epoch's thread.
+    """
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
 
     def put_leaf(x):
-        if sharding is not None:
-            try:
-                return jax.device_put(x, sharding)
-            except ValueError:
-                # batch not divisible by the data-axis size -> replicate
-                pass
-        return jax.device_put(x)
+        if sharding is None:
+            return jax.device_put(x)
+        try:
+            return jax.device_put(x, sharding)
+        except ValueError as e:
+            raise ValueError(
+                f"batch with shape {np.shape(x)} is not shardable over "
+                f"{sharding}; size the mesh to the batch "
+                f"(parallel.mesh_for_batch) or pad (pad_batches)"
+            ) from e
 
     def put(item):
         return jax.tree_util.tree_map(put_leaf, item)
 
     errors = []
 
+    def q_put(obj) -> bool:
+        """Blocking put that aborts when the consumer went away."""
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for item in it:
-                q.put(put(item))
+                if not q_put(put(item)):
+                    return
         except BaseException as e:  # surface loader errors to the consumer
             errors.append(e)
         finally:
-            q.put(_END)
+            q_put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+    finally:
+        stop.set()
+        t.join(timeout=10.0)
     if errors:
         raise errors[0]
 

@@ -181,11 +181,26 @@ class RSPTripletSampler:
         batch_size: int,
         seed: int = 0,
         drop_last: bool = True,
-        readers: dict | None = None,
+        readers=None,
     ) -> Iterator[np.ndarray]:
         """Shuffle the global work list and yield (B, 3, t, t, 3) uint8
-        batches, opening each slide once."""
-        readers = readers if readers is not None else {}
+        batches, opening each slide once.
+
+        readers: a ``wsi.ReaderCache`` (preferred — LRU-capped open slides)
+        or a plain dict; pass the same object across epochs to reuse
+        handles."""
+        from ssl_cr_histo_tpu.data.wsi import ReaderCache
+
+        if readers is None:
+            readers = ReaderCache()
+
+        def get_reader(path: str):
+            if isinstance(readers, ReaderCache):
+                return readers.get(path)
+            if path not in readers:
+                readers[path] = open_slide(path)
+            return readers[path]
+
         work = [
             (idx.slide_path, int(x), int(y))
             for idx in indices
@@ -196,9 +211,7 @@ class RSPTripletSampler:
         batch = []
         for i in order:
             path, x, y = work[i]
-            if path not in readers:
-                readers[path] = open_slide(path)
-            batch.append(self.read_triplet(readers[path], x, y))
+            batch.append(self.read_triplet(get_reader(path), x, y))
             if len(batch) == batch_size:
                 yield np.stack(batch)
                 batch = []

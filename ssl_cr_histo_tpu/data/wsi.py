@@ -18,6 +18,7 @@ sampler and heatmap pipelines share.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from typing import List, Protocol, Tuple
 
 import cv2
@@ -131,6 +132,9 @@ class OpenSlideReader:  # pragma: no cover - requires libopenslide
         img = self._slide.read_region(location, level, size).convert("RGB")
         return np.asarray(img, dtype=np.uint8)
 
+    def close(self) -> None:
+        self._slide.close()
+
 
 def synthetic_wsi(
     width: int = 2048,
@@ -223,6 +227,51 @@ class PILTiffReader:
         if sy1 > sy0 and sx1 > sx0:
             out[sy0 - ly : sy1 - ly, sx0 - lx : sx1 - lx] = arr[sy0:sy1, sx0:sx1]
         return out
+
+    def close(self) -> None:
+        self._img.close()
+        self._cache.clear()
+
+
+class ReaderCache:
+    """LRU cache of open slide readers.
+
+    The pretrain loop touches every slide every epoch; an unbounded readers
+    dict keeps every slide's file descriptor (and, for the PIL backend, its
+    decoded pages) open for the whole run — unbounded growth on TIGER-scale
+    slide sets.  This caps the number of simultaneously open slides and
+    ``close()``s evicted readers.
+    """
+
+    def __init__(self, capacity: int = 64, opener=None):
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self.capacity = capacity
+        self._opener = opener or open_slide
+        self._readers: "OrderedDict[str, PyramidReader]" = OrderedDict()
+
+    def get(self, path: str) -> PyramidReader:
+        if path in self._readers:
+            self._readers.move_to_end(path)
+            return self._readers[path]
+        reader = self._opener(path)
+        self._readers[path] = reader
+        while len(self._readers) > self.capacity:
+            _, old = self._readers.popitem(last=False)
+            close = getattr(old, "close", None)
+            if close is not None:
+                close()
+        return reader
+
+    def __len__(self) -> int:
+        return len(self._readers)
+
+    def close(self) -> None:
+        for reader in self._readers.values():
+            close = getattr(reader, "close", None)
+            if close is not None:
+                close()
+        self._readers.clear()
 
 
 def open_slide(path: str, levels: int = 4) -> PyramidReader:

@@ -25,6 +25,39 @@ import numpy as np
 from ssl_cr_histo_tpu.data.wsi import PyramidReader
 
 
+def pair_wsi_masks(wsipaths, maskpaths) -> list:
+    """Pair each WSI with its tissue mask BY BASENAME: mask stem must be
+    ``{wsi_id}``, ``{wsi_id}_mask`` or ``{wsi_id}_tissue``.  Raises listing
+    every unmatched file.
+
+    The reference pairs by zip of two independently sorted listings
+    (test_Camelyon16.py:148) — one missing mask silently shifts every
+    subsequent pairing; this is a deliberate fix, not parity.
+    """
+    masks = {}
+    for mp in maskpaths:
+        masks[os.path.splitext(os.path.basename(mp))[0]] = mp
+    pairs, missing = [], []
+    for wp in sorted(wsipaths):
+        wid = os.path.splitext(os.path.basename(wp))[0]
+        mp = None
+        for stem in (wid, f"{wid}_mask", f"{wid}_tissue"):
+            mp = masks.pop(stem, None)
+            if mp is not None:
+                break
+        if mp is None:
+            missing.append(wid)
+        else:
+            pairs.append((wp, mp))
+    if missing or masks:
+        raise ValueError(
+            "WSI/mask pairing failed — WSIs without a {id,id_mask,id_tissue} "
+            f"mask: {missing or 'none'}; masks without a WSI: "
+            f"{sorted(masks) or 'none'}"
+        )
+    return pairs
+
+
 def mask_work_list(reader: PyramidReader, mask: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int]:
     """Validate slide/mask scale (power of 2, reference dataset.py:958-978)
     and return (x_idcs, y_idcs, resolution)."""

@@ -29,6 +29,14 @@ def to_float(img_u8: jnp.ndarray) -> jnp.ndarray:
     return img_u8.astype(jnp.float32) / 255.0
 
 
+def _clip01(img: jnp.ndarray) -> jnp.ndarray:
+    """Final [0,1] clamp for augmented batches.  The reference clips to the
+    uint8 range at every albumentations op; here one fused clamp at the
+    batch boundary suffices — the bf16 MXU warp's interpolation weights can
+    overshoot by ~1e-3 on TPU (they sum to 1 only in f32)."""
+    return jnp.clip(img, 0.0, 1.0)
+
+
 def augment_rsp_batch_v1(
     key: jax.Array, triplets_u8: jnp.ndarray, mode: str = "fused",
     photometric: str = "xla",
@@ -55,10 +63,10 @@ def augment_rsp_batch_v1(
         t = warped.shape[1]
         flat = warped.reshape(b * t, *warped.shape[2:])
         out = PP.pretrain_photometric_pallas(flat, kp)
-        return out.reshape(warped.shape)
+        return _clip01(out.reshape(warped.shape))
     keys = jax.random.split(key, b)
     fn = fused.pretrain_augment_v1_fused if mode == "fused" else randaugment.pretrain_augment_v1
-    return jax.vmap(fn)(imgs, keys)
+    return _clip01(jax.vmap(fn)(imgs, keys))
 
 
 def augment_rsp_batch_v2(
@@ -79,7 +87,7 @@ def augment_rsp_batch_v2(
     def per_tile(img, k):
         return ra(img, k, n=n, m=m)
 
-    return jax.vmap(jax.vmap(per_tile))(imgs, keys)
+    return _clip01(jax.vmap(jax.vmap(per_tile))(imgs, keys))
 
 
 def _three_view(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
@@ -110,7 +118,7 @@ def augment_3view_batch(key: jax.Array, imgs_u8: jnp.ndarray) -> jnp.ndarray:
     b = imgs_u8.shape[0]
     imgs = to_float(imgs_u8)
     keys = jax.random.split(key, b)
-    return jax.vmap(_three_view)(imgs, keys)
+    return _clip01(jax.vmap(_three_view)(imgs, keys))
 
 
 def transform_fix_batch(
@@ -127,7 +135,7 @@ def transform_fix_batch(
     base = fused.transform_fix_fused if mode == "fused" else randaugment.transform_fix
     fn = partial(base, n=n, m=m)
     weak, strong = jax.vmap(fn)(imgs, keys)
-    return weak, strong
+    return _clip01(weak), _clip01(strong)
 
 
 def normalize_batch(

@@ -84,8 +84,8 @@ def _resize_crop_mat(key, s: int, pad: int = 20):
 def _pretrain_geo_matrix(key, s: int) -> jnp.ndarray:
     """Compose the three geometric pool ops' matrices (drawn with the same
     parameter distributions as exact mode) in a random order."""
-    k_order, k1a, k1p, k1c, k2f, k2x, k2y, k2s, k2a, k2p, k3f, k3a, k3p = (
-        jax.random.split(key, 13)
+    k_order, k1a, k1p, k1c, k2f, k2x, k2y, k2s, k2a, k2p, k3a, k3p = (
+        jax.random.split(key, 12)
     )
 
     # op A: Scale_Resize_Crop — rotate(+-90, p.5) then resize+randcrop
@@ -104,8 +104,11 @@ def _pretrain_geo_matrix(key, s: int) -> jnp.ndarray:
     )
     matB = flipB @ _maybe_mat(k2p, ssr)
 
-    # op C: Rotate_Crop — Flip then rotate(+-90, p.5)
-    matC = _random_flip_mat(k3f, s, s) @ _maybe_mat(
+    # op C: Rotate_Crop — rotate(+-90, p.5) + center crop only; the pretrain
+    # pool's Rotate_Crop has NO flip (reference dataset.py:145-148 — unlike
+    # the v1 STRONG pool's Rotate_Crop, which does flip and keeps it in
+    # _ra1_geo_rotate_crop)
+    matC = _maybe_mat(
         k3p,
         geometry.rotation_matrix(
             jax.random.uniform(k3a, (), minval=-90.0, maxval=90.0), s, s

@@ -3,6 +3,7 @@ pjit train/eval steps."""
 
 from ssl_cr_histo_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    mesh_for_batch,
     batch_sharding,
     replicated_sharding,
     shard_batch,

@@ -31,6 +31,32 @@ def make_mesh(devices: Sequence[jax.Device] | None = None, model_parallel: int =
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def mesh_for_batch(batch_size: int, devices: Sequence[jax.Device] | None = None,
+                   model_parallel: int = 1) -> Mesh:
+    """Mesh whose data axis evenly divides ``batch_size``.
+
+    SPMD batch sharding requires the global batch to divide the data axis;
+    when it doesn't (e.g. the reference's BreastPathQ batch of 4 on an
+    8-chip slice), use the largest divisor-of-batch device count rather than
+    silently replicating.  Emits a warning when chips go unused so the user
+    can pick a divisible batch size instead.
+    """
+    import math
+    import warnings
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = max(len(devices) // model_parallel, 1)
+    g = math.gcd(batch_size, n)
+    if g * model_parallel < len(devices):
+        warnings.warn(
+            f"batch_size={batch_size} is not divisible by the {n}-device data "
+            f"axis; using {g} device(s) and leaving the rest idle — prefer a "
+            f"batch size divisible by the device count",
+            stacklevel=2,
+        )
+    return make_mesh(devices[: g * model_parallel], model_parallel=model_parallel)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

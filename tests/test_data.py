@@ -364,3 +364,77 @@ def test_lazy_kather_dataset(tmp_path):
     # 'auto' returns eager below the threshold
     auto = D.load_kather_folder(str(tmp_path), image_size=48)
     assert isinstance(auto, D.ArrayDataset)
+
+
+def test_reader_cache_lru_eviction(tmp_path):
+    from ssl_cr_histo_tpu.data.wsi import ReaderCache
+
+    closed = []
+
+    class FakeReader:
+        def __init__(self, path):
+            self.path = path
+
+        def close(self):
+            closed.append(self.path)
+
+    cache = ReaderCache(capacity=2, opener=FakeReader)
+    a = cache.get("a")
+    cache.get("b")
+    assert cache.get("a") is a  # hit moves to MRU
+    cache.get("c")  # evicts b (LRU), not a
+    assert closed == ["b"]
+    assert len(cache) == 2
+    cache.close()
+    assert sorted(closed) == ["a", "b", "c"]
+
+
+def test_prefetch_indivisible_batch_raises():
+    import jax
+    import pytest
+
+    from ssl_cr_histo_tpu.parallel import batch_sharding, make_mesh
+
+    sharding = batch_sharding(make_mesh())  # 8 virtual devices
+    it = iter([np.zeros((6, 4), np.uint8)])  # 6 % 8 != 0
+    with pytest.raises(ValueError, match="not shardable"):
+        list(P.prefetch_to_device(it, sharding=sharding))
+
+
+def test_prefetch_early_break_stops_worker():
+    import threading
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield np.full((2, 2), i, np.uint8)
+
+    before = threading.active_count()
+    g = P.prefetch_to_device(gen(), size=2)
+    for i, _ in enumerate(g):
+        if i == 3:
+            break
+    g.close()  # generator cleanup must stop the worker thread
+    import time
+
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(produced) < 1000  # worker did not drain the whole iterator
+
+
+def test_mesh_for_batch_divisibility():
+    import warnings
+
+    from ssl_cr_histo_tpu.parallel import mesh_for_batch
+
+    m = mesh_for_batch(64)  # 8 virtual devices divide 64
+    assert int(m.shape["data"]) == 8
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m4 = mesh_for_batch(4)
+        assert int(m4.shape["data"]) == 4
+        assert any("not divisible" in str(x.message) for x in w)

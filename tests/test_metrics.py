@@ -110,3 +110,25 @@ def test_heatmap_on_synthetic_wsi(tmp_path):
     save_heatmap_artifacts(pm, str(tmp_path), "wsi0")
     for suffix in ("npy", "png"):
         assert any(p.endswith(suffix) for p in map(str, tmp_path.iterdir()))
+
+
+def test_pair_wsi_masks():
+    from ssl_cr_histo_tpu.eval.heatmap import pair_wsi_masks
+
+    wsis = ["/w/t2.tif", "/w/t1.tif", "/w/t3.npy"]
+    masks = ["/m/t1_mask.npy", "/m/t2.npy", "/m/t3_tissue.npy"]
+    pairs = pair_wsi_masks(wsis, masks)
+    assert pairs == [
+        ("/w/t1.tif", "/m/t1_mask.npy"),
+        ("/w/t2.tif", "/m/t2.npy"),
+        ("/w/t3.npy", "/m/t3_tissue.npy"),
+    ]
+
+    import pytest
+
+    # a missing mask must fail loudly, not shift subsequent pairings
+    with pytest.raises(ValueError, match="t2"):
+        pair_wsi_masks(wsis, ["/m/t1_mask.npy", "/m/t3_tissue.npy"])
+    # an orphan mask is also an error
+    with pytest.raises(ValueError, match="t9"):
+        pair_wsi_masks(wsis, masks + ["/m/t9_mask.npy"])
