@@ -59,11 +59,16 @@ def main():
     clf = Classifier(num_classes=6)
     tx = optim.sgd_nesterov(0.01, momentum=0.9, weight_decay=1e-4)
     state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=tile)
-    # pallas photometric backend: the VMEM-resident fused chain (12% faster
-    # end-to-end than the XLA chain on v5e; TPU-only, which bench always is)
-    step = S.make_pretrain_step(
+    # Execution mode matches the pretrain CLI defaults: pallas photometric
+    # backend (VMEM-resident fused chain), joint triplet encoding, and
+    # multi-step scan (--multi_step 8: 8 train steps per device dispatch,
+    # amortizing host dispatch latency like the CLI's chunked feed).
+    k_steps = 8
+    multi = S.make_pretrain_multi_step(
         model, clf, tx, augment="v1", photometric="pallas", joint_encode=True
     )
+    tiles_k = jnp.broadcast_to(tiles, (k_steps, *tiles.shape))
+    valid = jnp.ones((k_steps,), jnp.float32)
 
     # compile + warmup.  NOTE: block_until_ready does not reliably
     # synchronize on the axon tunnel platform; a scalar device->host fetch
@@ -71,15 +76,15 @@ def main():
     # data dependency and fetches ONCE at the end — the final fetch cannot
     # complete until every step has executed, and this matches how training
     # actually runs (no per-step host sync).
-    state, metrics = step(state, tiles, jax.random.PRNGKey(0))
-    float(metrics["loss"])
+    state, metrics = multi(state, tiles_k, jax.random.PRNGKey(0), valid)
+    float(metrics["loss"][-1])
 
-    iters = 20
+    iters = 3
     t0 = time.time()
     for i in range(iters):
-        state, metrics = step(state, tiles, jax.random.PRNGKey(i + 1))
-    final_loss = float(metrics["loss"])  # hard sync of the whole chain
-    dt = (time.time() - t0) / iters
+        state, metrics = multi(state, tiles_k, jax.random.PRNGKey(i + 1), valid)
+    final_loss = float(metrics["loss"][-1])  # hard sync of the whole chain
+    dt = (time.time() - t0) / (iters * k_steps)
     assert final_loss == final_loss, "loss is NaN"
 
     patches_per_step = batch_size * 3

@@ -94,6 +94,18 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
         help="photometric-chain backend in fused mode (pallas = VMEM-resident "
              "kernel, TPU only)",
     )
+    parser.add_argument(
+        "--image_size", type=int, default=0,
+        help="override the task's input resolution (0 = task default; the "
+             "reference hard-codes 256/224 per task)",
+    )
+
+
+def apply_task_overrides(args, cfg: TaskConfig) -> TaskConfig:
+    """Fold CLI overrides into the task config of record."""
+    if getattr(args, "image_size", 0):
+        cfg = dataclasses.replace(cfg, image_size=args.image_size)
+    return cfg
 
 
 def model_dtype(args):

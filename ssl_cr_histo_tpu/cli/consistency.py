@@ -19,6 +19,7 @@ import numpy as np
 from ssl_cr_histo_tpu.cli.common import (
     TASKS,
     add_common_args,
+    apply_task_overrides,
     make_optimizer,
     model_dtype,
     seed_everything,
@@ -73,7 +74,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    cfg = TASKS[args.task]
+    cfg = apply_task_overrides(args, TASKS[args.task])
     key = seed_everything(args.seed)
     batch_size = args.batch_size or cfg.batch_size
     mesh = mesh_for_batch(batch_size)

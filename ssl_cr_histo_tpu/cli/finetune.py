@@ -15,6 +15,7 @@ import numpy as np
 from ssl_cr_histo_tpu.cli.common import (
     TASKS,
     add_common_args,
+    apply_task_overrides,
     make_optimizer,
     model_dtype,
     seed_everything,
@@ -87,7 +88,7 @@ def build_state(args, cfg, key):
 
 def main(argv=None):
     args = parse_args(argv)
-    cfg = TASKS[args.task]
+    cfg = apply_task_overrides(args, TASKS[args.task])
     key = seed_everything(args.seed)
     batch_size = args.batch_size or cfg.batch_size
     mesh = mesh_for_batch(batch_size)

@@ -35,14 +35,14 @@ def parse_args(argv=None):
     p.add_argument("--test_mask_pth", required=True, help="dir of tissue masks (.npy)")
     p.add_argument("--probs_map_path", required=True, help="output dir")
     p.add_argument("--finetune_ckpt", required=True, help="fine-tuned checkpoint dir")
-    p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--batch_size", type=int, default=256)
-    add_common_args(p)
+    add_common_args(p)  # provides --image_size (0 = default; 256 here)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    args.image_size = args.image_size or 256
     seed_everything(args.seed)
 
     model = TripletNet(args.model, dtype=model_dtype(args))

@@ -67,6 +67,10 @@ def parse_args(argv=None):
     p.add_argument("--resume", default="")
     p.add_argument("--steps_per_epoch", type=int, default=0,
                    help="0 = full pass over the sampled index")
+    p.add_argument("--multi_step", type=int, default=8,
+                   help="train steps scanned per device dispatch (lax.scan); "
+                        "amortizes host dispatch latency.  1 = one dispatch "
+                        "per step")
     p.add_argument("--joint_encode", action="store_true",
                    help="one batched backbone pass over the 3 views (~2x "
                         "faster fwd/bwd; BN stats joint across views instead "
@@ -127,12 +131,15 @@ def main(argv=None):
     state = init_triplet_state(
         model, clf, tx, key, image_size=args.tile_h, lookahead_slow=True
     )
-    step = S.make_pretrain_step(
-        model, clf, tx,
+    step_kwargs = dict(
         augment=args.variant, n_aug=args.NAug, m_aug=args.Magn,
         aug_mode=args.aug_mode, photometric=args.photometric,
         joint_encode=args.joint_encode,
     )
+    if args.multi_step > 1:
+        step = S.make_pretrain_multi_step(model, clf, tx, **step_kwargs)
+    else:
+        step = S.make_pretrain_step(model, clf, tx, **step_kwargs)
     eval_step = S.make_pretrain_eval_step(model, clf)
 
     start_epoch = 1
@@ -171,16 +178,39 @@ def main(argv=None):
 
             batches = itertools.islice(batches, args.steps_per_epoch)
         key, ek = jax.random.split(key)
-        for bi, tiles in enumerate(prefetch_to_device(batches, sharding=sharding)):
-            ek, sk = jax.random.split(ek)
-            state, m = step(state, tiles, sk)
-            train_loss.update(float(m["loss"]), tiles.shape[0])
-            train_acc.update(float(m["acc"]), tiles.shape[0])
-            if (bi + 1) % args.print_freq == 0:
-                print(
-                    f"Train: [{epoch}][{bi + 1}] loss {train_loss.val:.3f} "
-                    f"({train_loss.avg:.3f}) acc {train_acc.avg:.3f}"
-                )
+        if args.multi_step > 1:
+            from ssl_cr_histo_tpu.data.pipeline import chunk_batches
+            from ssl_cr_histo_tpu.parallel import chunk_sharding, replicated_sharding
+
+            chunks = chunk_batches(batches, args.multi_step)
+            feed = prefetch_to_device(
+                chunks, sharding=(chunk_sharding(mesh), replicated_sharding(mesh))
+            )
+            bi = 0
+            for tiles_k, valid in feed:
+                ek, sk = jax.random.split(ek)
+                state, ms = step(state, tiles_k, sk, valid)
+                losses, accs = np.asarray(ms["loss"]), np.asarray(ms["acc"])
+                for j in range(int(np.asarray(valid).sum())):
+                    bi += 1
+                    train_loss.update(float(losses[j]), tiles_k.shape[1])
+                    train_acc.update(float(accs[j]), tiles_k.shape[1])
+                    if bi % args.print_freq == 0:
+                        print(
+                            f"Train: [{epoch}][{bi}] loss {train_loss.val:.3f} "
+                            f"({train_loss.avg:.3f}) acc {train_acc.avg:.3f}"
+                        )
+        else:
+            for bi, tiles in enumerate(prefetch_to_device(batches, sharding=sharding)):
+                ek, sk = jax.random.split(ek)
+                state, m = step(state, tiles, sk)
+                train_loss.update(float(m["loss"]), tiles.shape[0])
+                train_acc.update(float(m["acc"]), tiles.shape[0])
+                if (bi + 1) % args.print_freq == 0:
+                    print(
+                        f"Train: [{epoch}][{bi + 1}] loss {train_loss.val:.3f} "
+                        f"({train_loss.avg:.3f}) acc {train_acc.avg:.3f}"
+                    )
         print(f"Epoch time: {time.time() - t0:.2f} s.")
 
         # validation: every val triplet under ALL 6 orderings (the

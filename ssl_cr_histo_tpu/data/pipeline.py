@@ -51,6 +51,40 @@ def pad_batches(it: Iterable, batch_size: int) -> Iterator:
         yield batch, valid
 
 
+def chunk_batches(it: Iterable, k: int) -> Iterator:
+    """Stack k consecutive batches along a new leading axis for multi-step
+    scan execution (``parallel.steps.make_pretrain_multi_step``): one
+    device dispatch runs k train steps.
+
+    Yields (stacked, valid) where stacked leaves have shape (k, B, ...) and
+    valid is a float32 (k,) mask; a partial final chunk is zero-padded with
+    its padded steps marked invalid (the scan discards their state update),
+    so shapes stay static and no batch is dropped."""
+    buf = []
+    for batch in it:
+        buf.append(batch if isinstance(batch, tuple) else (batch,))
+        if len(buf) == k:
+            yield _stack_chunk(buf, k)
+            buf = []
+    if buf:
+        yield _stack_chunk(buf, k)
+
+
+def _stack_chunk(buf, k):
+    n = len(buf)
+    valid = np.zeros(k, np.float32)
+    valid[:n] = 1.0
+    parts = []
+    for arrays in zip(*buf):
+        stacked = np.stack(arrays)
+        if n < k:
+            pad = np.zeros((k - n, *stacked.shape[1:]), stacked.dtype)
+            stacked = np.concatenate([stacked, pad])
+        parts.append(stacked)
+    out = parts[0] if len(parts) == 1 else tuple(parts)
+    return out, valid
+
+
 def prefetch_to_device(
     it: Iterable,
     size: int = 2,
@@ -73,20 +107,24 @@ def prefetch_to_device(
     _END = object()
     stop = threading.Event()
 
-    def put_leaf(x):
-        if sharding is None:
+    def put_leaf(x, sh):
+        if sh is None:
             return jax.device_put(x)
         try:
-            return jax.device_put(x, sharding)
+            return jax.device_put(x, sh)
         except ValueError as e:
             raise ValueError(
                 f"batch with shape {np.shape(x)} is not shardable over "
-                f"{sharding}; size the mesh to the batch "
+                f"{sh}; size the mesh to the batch "
                 f"(parallel.mesh_for_batch) or pad (pad_batches)"
             ) from e
 
     def put(item):
-        return jax.tree_util.tree_map(put_leaf, item)
+        if sharding is None or isinstance(sharding, jax.sharding.Sharding):
+            return jax.tree_util.tree_map(lambda x: put_leaf(x, sharding), item)
+        # a pytree of shardings matching the item structure (e.g. one per
+        # element of a (tiles, valid) chunk tuple)
+        return jax.tree_util.tree_map(put_leaf, item, sharding)
 
     errors = []
 

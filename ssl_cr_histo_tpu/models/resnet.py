@@ -21,6 +21,16 @@ import jax.numpy as jnp
 ModuleDef = Any
 
 
+def _norm_factory(dtype, train):
+    return partial(
+        nn.BatchNorm,
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+    )
+
+
 def _conv_factory(dtype):
     def conv(filters, kernel, strides=(1, 1), *, name=None):
         p = (kernel[0] - 1) // 2
@@ -49,13 +59,7 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         conv = _conv_factory(self.dtype)
-        norm = partial(
-            nn.BatchNorm,
-            use_running_average=not self.train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-        )
+        norm = _norm_factory(self.dtype, self.train)
         residual = x
         y = conv(self.filters, (3, 3), (self.strides, self.strides), name="conv1")(x)
         y = norm(name="bn1")(y)
@@ -85,13 +89,7 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         conv = _conv_factory(self.dtype)
-        norm = partial(
-            nn.BatchNorm,
-            use_running_average=not self.train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-        )
+        norm = _norm_factory(self.dtype, self.train)
         residual = x
         y = conv(self.filters, (1, 1), name="conv1")(x)
         y = norm(name="bn1")(y)
@@ -128,13 +126,7 @@ class ResNet(nn.Module):
         conv = _conv_factory(self.dtype)
         x = x.astype(self.dtype)
         x = conv(self.num_filters, (7, 7), (2, 2), name="conv1")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            name="bn1",
-        )(x)
+        x = _norm_factory(self.dtype, train)(name="bn1")(x)
         x = nn.relu(x)
         # torch maxpool(3, stride 2, padding 1)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

@@ -229,13 +229,20 @@ def _resample_pass(img: jnp.ndarray, pos: jnp.ndarray, axis: str, pad_mode: str)
     axis='x': pos has shape (H, W_out); out[y, o, c] = interp(img[y], pos[y, o]).
     axis='y': pos has shape (H_out, W); out[o, x, c] = interp(img[:, x], pos[o, x]).
     """
+    # The hat weights are built in f32 (positions up to S need fractional
+    # resolution bf16 lacks) but the dots run with bf16 operands and f32
+    # accumulation: weights are exact in bf16 to ~3 decimal digits, which is
+    # beyond augmentation tolerance, and the MXU runs 2x faster on bf16.
     if axis == "x":
         size = img.shape[1]
         pos = _fold_coords(pos, size, pad_mode)
         i_in = jax.lax.broadcasted_iota(jnp.float32, (1, size, 1), 1)
         w = jnp.maximum(0.0, 1.0 - jnp.abs(i_in - pos[:, None, :]))  # (H, I, O)
         return jnp.einsum(
-            "yic,yio->yoc", img, w, preferred_element_type=jnp.float32
+            "yic,yio->yoc",
+            img.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
         )
     size = img.shape[0]
     pos = _fold_coords(pos, size, pad_mode)
@@ -243,7 +250,12 @@ def _resample_pass(img: jnp.ndarray, pos: jnp.ndarray, axis: str, pad_mode: str)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(i_in - pos[:, None, :].transpose(2, 1, 0)))
     # w: (X, I, O) where X indexes columns; img -> (X, I, C)
     img_t = img.transpose(1, 0, 2)
-    out = jnp.einsum("xic,xio->xoc", img_t, w, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "xic,xio->xoc",
+        img_t.astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
     return out.transpose(1, 0, 2)
 
 

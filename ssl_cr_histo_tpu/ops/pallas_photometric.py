@@ -139,32 +139,54 @@ def _hed_shift_planes(r, g, b, dh, de, dd):
     return clip(lr), clip(lg), clip(lb)
 
 
-def _chain_planes(r, g, b, p, nr, ng, nb):
-    """The photometric chain on resident (H, W) color planes.
+def _chain_planes(r, g, b, p, noise_fn):
+    """The photometric chain on resident (H, W) color planes, in
+    compute-then-select form — the oracle for the TPU kernel, which applies
+    the same per-stage math under ``pl.when`` predication instead (see
+    ``_kernel_prng``; results are identical for equal params/noise).
 
     p is an indexable of N_PARAMS scalars (SMEM loads in the kernel, an
     array row in the oracle)."""
+
+    def gated(gate_val, fn, operands):
+        new = fn(operands)
+        return tuple(jnp.where(gate_val > 0.5, a, o) for a, o in zip(new, operands))
+
     # HSV shift
-    h, s, v = _rgb2hsv_planes(r, g, b)
-    h = (h + p[0] / 180.0) % 1.0
-    s = jnp.clip(s + p[1] / 255.0, 0.0, 1.0)
-    v = jnp.clip(v + p[2] / 255.0, 0.0, 1.0)
-    r2, g2, b2 = _hsv2rgb_planes(h, s, v)
-    gate = p[3] > 0.5
-    r, g, b = (jnp.where(gate, a, o) for a, o in ((r2, r), (g2, g), (b2, b)))
-    # Gaussian noise
-    gate = p[5] > 0.5
-    r = jnp.where(gate, jnp.clip(r + nr * p[4], 0.0, 1.0), r)
-    g = jnp.where(gate, jnp.clip(g + ng * p[4], 0.0, 1.0), g)
-    b = jnp.where(gate, jnp.clip(b + nb * p[4], 0.0, 1.0), b)
+    def hsv_stage(ops):
+        r, g, b = ops
+        h, s, v = _rgb2hsv_planes(r, g, b)
+        h = (h + p[0] / 180.0) % 1.0
+        s = jnp.clip(s + p[1] / 255.0, 0.0, 1.0)
+        v = jnp.clip(v + p[2] / 255.0, 0.0, 1.0)
+        return _hsv2rgb_planes(h, s, v)
+
+    r, g, b = gated(p[3], hsv_stage, (r, g, b))
+
+    # Gaussian noise — noise_fn is a 0-arg callable so that under
+    # predication the (expensive) Box-Muller draws happen only in the
+    # taken branch.
+    def noise_stage(ops):
+        r, g, b = ops
+        nr, ng, nb = noise_fn()
+        return (
+            jnp.clip(r + nr * p[4], 0.0, 1.0),
+            jnp.clip(g + ng * p[4], 0.0, 1.0),
+            jnp.clip(b + nb * p[4], 0.0, 1.0),
+        )
+
+    r, g, b = gated(p[5], noise_stage, (r, g, b))
+
     # HED shift (always applied)
     r, g, b = _hed_shift_planes(r, g, b, p[6], p[7], p[8])
+
     # Box blur
-    gate = p[10] > 0.5
-    r = jnp.where(gate, _box_blur_plane(r, p[9]), r)
-    g = jnp.where(gate, _box_blur_plane(g, p[9]), g)
-    b = jnp.where(gate, _box_blur_plane(b, p[9]), b)
-    # Brightness / contrast
+    def blur_stage(ops):
+        return tuple(_box_blur_plane(x, p[9]) for x in ops)
+
+    r, g, b = gated(p[10], blur_stage, (r, g, b))
+
+    # Brightness / contrast (cheap — keep the select form)
     gate = p[13] > 0.5
     bc = lambda x: jnp.clip(x * (1.0 + p[12]) + p[11], 0.0, 1.0)
     return (
@@ -176,11 +198,17 @@ def _chain_planes(r, g, b, p, nr, ng, nb):
 
 def _kernel_prng(seed_ref, params_ref, img_ref, out_ref):
     """TPU kernel over a (1, 3, H, W) planar block; per-pixel Gaussian noise
-    from the on-core PRNG (Box-Muller)."""
+    from the on-core PRNG (Box-Muller).
+
+    Each p=0.5-gated stage is guarded by ``pl.when`` store-predication on
+    out_ref (a genuine Mosaic branch, not compute-then-select), so the
+    HSV round-trip, the Box-Muller draws, and the blur taps are skipped
+    outright for the ~half of tiles whose gate is off.  Same math per stage
+    as ``_chain_planes`` (the oracle keeps the select form; results are
+    identical for equal params/noise)."""
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[i])
-    r, g, b = img_ref[0, 0], img_ref[0, 1], img_ref[0, 2]
-    h, w = r.shape
+    h, w = img_ref.shape[2], img_ref.shape[3]
 
     def normal():
         u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits((h, w)), jnp.uint32))
@@ -188,10 +216,46 @@ def _kernel_prng(seed_ref, params_ref, img_ref, out_ref):
         return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
 
     p = tuple(params_ref[i, j] for j in range(N_PARAMS))
-    ro, go, bo = _chain_planes(r, g, b, p, normal(), normal(), normal())
+
+    out_ref[0, 0] = img_ref[0, 0]
+    out_ref[0, 1] = img_ref[0, 1]
+    out_ref[0, 2] = img_ref[0, 2]
+
+    @pl.when(p[3] > 0.5)
+    def _hsv():
+        hh, ss, vv = _rgb2hsv_planes(out_ref[0, 0], out_ref[0, 1], out_ref[0, 2])
+        hh = (hh + p[0] / 180.0) % 1.0
+        ss = jnp.clip(ss + p[1] / 255.0, 0.0, 1.0)
+        vv = jnp.clip(vv + p[2] / 255.0, 0.0, 1.0)
+        r2, g2, b2 = _hsv2rgb_planes(hh, ss, vv)
+        out_ref[0, 0] = r2
+        out_ref[0, 1] = g2
+        out_ref[0, 2] = b2
+
+    @pl.when(p[5] > 0.5)
+    def _noise():
+        for c in range(3):
+            out_ref[0, c] = jnp.clip(out_ref[0, c] + normal() * p[4], 0.0, 1.0)
+
+    # HED shift (always applied)
+    ro, go, bo = _hed_shift_planes(
+        out_ref[0, 0], out_ref[0, 1], out_ref[0, 2], p[6], p[7], p[8]
+    )
     out_ref[0, 0] = ro
     out_ref[0, 1] = go
     out_ref[0, 2] = bo
+
+    @pl.when(p[10] > 0.5)
+    def _blur():
+        for c in range(3):
+            out_ref[0, c] = _box_blur_plane(out_ref[0, c], p[9])
+
+    @pl.when(p[13] > 0.5)
+    def _bc():
+        for c in range(3):
+            out_ref[0, c] = jnp.clip(
+                out_ref[0, c] * (1.0 + p[12]) + p[11], 0.0, 1.0
+            )
 
 
 def _kernel_noise_input(seed_ref, params_ref, img_ref, noise_ref, out_ref):
@@ -201,7 +265,7 @@ def _kernel_noise_input(seed_ref, params_ref, img_ref, noise_ref, out_ref):
     p = tuple(params_ref[i, j] for j in range(N_PARAMS))
     ro, go, bo = _chain_planes(
         img_ref[0, 0], img_ref[0, 1], img_ref[0, 2], p,
-        noise_ref[0, 0], noise_ref[0, 1], noise_ref[0, 2],
+        lambda: (noise_ref[0, 0], noise_ref[0, 1], noise_ref[0, 2]),
     )
     out_ref[0, 0] = ro
     out_ref[0, 1] = go
@@ -289,7 +353,7 @@ def reference_chain(imgs: jnp.ndarray, params: jnp.ndarray, noise: jnp.ndarray) 
     def one(img, p, nz):
         r, g, b = _chain_planes(
             img[..., 0], img[..., 1], img[..., 2], p,
-            nz[..., 0], nz[..., 1], nz[..., 2],
+            lambda: (nz[..., 0], nz[..., 1], nz[..., 2]),
         )
         return jnp.stack([r, g, b], axis=-1)
 

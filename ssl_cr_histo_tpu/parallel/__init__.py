@@ -5,6 +5,7 @@ from ssl_cr_histo_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     mesh_for_batch,
     batch_sharding,
+    chunk_sharding,
     replicated_sharding,
     shard_batch,
 )

@@ -62,6 +62,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def chunk_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for multi-step chunks (K, B, ...): the scan axis K is
+    unsharded, the batch dim shards over data (see
+    ``data.pipeline.chunk_batches``)."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

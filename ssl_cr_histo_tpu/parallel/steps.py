@@ -21,6 +21,7 @@ Reference call-stack parity:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -58,28 +59,22 @@ def permute_triplets(tiles: jnp.ndarray, perm_idx: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def make_pretrain_step(
+def _pretrain_body(
     model,
     classifier,
     tx: optax.GradientTransformation,
-    augment: Optional[str] = "v1",
-    n_aug: int = 2,
-    m_aug: float = 3.0,
-    aug_mode: str = "fused",
-    photometric: str = "xla",
-    joint_encode: bool = False,
-    mean=aug_batch.DEFAULT_MEAN,
-    std=aug_batch.DEFAULT_STD,
+    augment: Optional[str],
+    n_aug: int,
+    m_aug: float,
+    aug_mode: str,
+    photometric: str,
+    joint_encode: bool,
+    mean,
+    std,
 ) -> Callable:
-    """Build the jitted RSP pretraining step.
-
-    batch: {'tiles': uint8 (B, 3, H, W, 3) in [HR, LR1, LR2] order}.
-    The 6-way sequence permutation is sampled on device per example (the
-    reference instead expands the dataset x6 eagerly — dataset.py:27-70; the
-    training signal is the same with one random ordering per triplet per
-    step, without 6x RAM).
-    Returns (state, metrics) with metrics {'loss', 'acc'}.
-    """
+    """The un-jitted pretrain step body, shared by ``make_pretrain_step``
+    (one jitted dispatch per batch) and ``make_pretrain_multi_step`` (a
+    ``lax.scan`` over K stacked batches in one dispatch)."""
 
     def loss_fn(params, batch_stats, tiles, labels):
         variables = {"params": params["model"], "batch_stats": batch_stats}
@@ -104,10 +99,16 @@ def make_pretrain_step(
         acc = jnp.mean(jnp.argmax(logits, -1) == labels)
         return loss, (mutated["batch_stats"], acc)
 
-    @jax.jit
     def step(state: TrainState, tiles_u8: jnp.ndarray, key: jax.Array):
         kperm, kaug = jax.random.split(key)
         b = tiles_u8.shape[0]
+        # Permute the resolution sequence on the RAW uint8 tiles, before the
+        # float conversion: the gather moves 4x fewer bytes, and the result
+        # is identical — v1 draws one parameter set per triplet (shared by
+        # all 3 tiles) and v2 draws iid per tile, so augmentation and
+        # reordering commute (exactly for v1, in distribution for v2).
+        labels = jax.random.randint(kperm, (b,), 0, 6)
+        tiles_u8 = permute_triplets(tiles_u8, labels)
         if augment == "v1":
             v1_mode = "fused" if aug_mode == "fast" else aug_mode
             tiles = aug_batch.augment_rsp_batch_v1(
@@ -120,8 +121,6 @@ def make_pretrain_step(
         else:
             tiles = aug_batch.to_float(tiles_u8)
         tiles = aug_batch.normalize_batch(tiles, mean, std)
-        labels = jax.random.randint(kperm, (b,), 0, 6)
-        tiles = permute_triplets(tiles, labels)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_stats, acc)), grads = grad_fn(
@@ -138,6 +137,90 @@ def make_pretrain_step(
         return state, {"loss": loss, "acc": acc}
 
     return step
+
+
+def make_pretrain_step(
+    model,
+    classifier,
+    tx: optax.GradientTransformation,
+    augment: Optional[str] = "v1",
+    n_aug: int = 2,
+    m_aug: float = 3.0,
+    aug_mode: str = "fused",
+    photometric: str = "xla",
+    joint_encode: bool = False,
+    mean=aug_batch.DEFAULT_MEAN,
+    std=aug_batch.DEFAULT_STD,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted RSP pretraining step.
+
+    batch: uint8 (B, 3, H, W, 3) tiles in [HR, LR1, LR2] order.
+    The 6-way sequence permutation is sampled on device per example (the
+    reference instead expands the dataset x6 eagerly — dataset.py:27-70; the
+    training signal is the same with one random ordering per triplet per
+    step, without 6x RAM).
+    Returns (state, metrics) with metrics {'loss', 'acc'}.
+    """
+    body = _pretrain_body(
+        model, classifier, tx, augment, n_aug, m_aug, aug_mode, photometric,
+        joint_encode, mean, std,
+    )
+    return jax.jit(body, donate_argnums=(0,) if donate else ())
+
+
+def make_pretrain_multi_step(
+    model,
+    classifier,
+    tx: optax.GradientTransformation,
+    augment: Optional[str] = "v1",
+    n_aug: int = 2,
+    m_aug: float = 3.0,
+    aug_mode: str = "fused",
+    photometric: str = "xla",
+    joint_encode: bool = False,
+    mean=aug_batch.DEFAULT_MEAN,
+    std=aug_batch.DEFAULT_STD,
+    donate: bool = True,
+) -> Callable:
+    """K pretraining steps in ONE jitted dispatch via ``lax.scan``.
+
+    Host dispatch through the runtime costs 1-2 ms per call (more over a
+    remote tunnel); scanning K steps amortizes it K-fold while the host
+    thread ships the next chunk.  The per-step math is byte-identical to
+    ``make_pretrain_step`` (same body).
+
+    multi(state, tiles_u8 (K, B, 3, H, W, 3), key, valid (K,)) ->
+        (state, metrics stacked (K,)).
+    ``valid`` masks zero-padded trailing steps of a partial final chunk:
+    an invalid step's state update is discarded (the scan still runs it on
+    the padded batch — static shapes — but the state passes through
+    unchanged), so any chunk size divides any epoch length exactly.
+    """
+    body = _pretrain_body(
+        model, classifier, tx, augment, n_aug, m_aug, aug_mode, photometric,
+        joint_encode, mean, std,
+    )
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def multi(state: TrainState, tiles_u8: jnp.ndarray, key: jax.Array,
+              valid: jnp.ndarray):
+        keys = jax.random.split(key, tiles_u8.shape[0])
+
+        def scan_body(st, inp):
+            tiles, k_i, v = inp
+            new_st, m = body(st, tiles, k_i)
+            st = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(v > 0, n, o), new_st, st
+            )
+            return st, m
+
+        state, ms = jax.lax.scan(
+            scan_body, state, (tiles_u8, keys, valid.astype(jnp.float32))
+        )
+        return state, ms
+
+    return multi
 
 
 def make_pretrain_eval_step(model, classifier, mean=aug_batch.DEFAULT_MEAN, std=aug_batch.DEFAULT_STD):
@@ -193,6 +276,7 @@ def make_finetune_step(
     three_view: bool = True,
     mean=aug_batch.DEFAULT_MEAN,
     std=aug_batch.DEFAULT_STD,
+    donate: bool = True,
 ) -> Callable:
     """Supervised fine-tune step.
 
@@ -221,7 +305,7 @@ def make_finetune_step(
             metric = jnp.mean(jnp.argmax(out, -1) == labels)
         return loss, (mutated["batch_stats"], metric)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, images_u8: jnp.ndarray, labels: jnp.ndarray, key: jax.Array):
         if three_view:
             views = aug_batch.augment_3view_batch(key, images_u8)  # (B,3,H,W,3)
@@ -327,6 +411,7 @@ def make_consistency_step(
     data_groups: int = 1,
     mean=aug_batch.DEFAULT_MEAN,
     std=aug_batch.DEFAULT_STD,
+    donate: bool = True,
 ) -> Callable:
     """FixMatch-style teacher/student step (reference eval_Kather_SSL_CR.py:
     37-127).
@@ -378,7 +463,7 @@ def make_consistency_step(
         loss = sup + lambda_u * cons
         return loss, (mutated["batch_stats"], sup, cons, metric)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(
         state: TrainState,
         teacher_params,

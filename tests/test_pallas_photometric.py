@@ -41,7 +41,10 @@ def test_chain_matches_independent_ops():
     p[9], p[10] = 5.0, 1.0  # blur
     p[11], p[12], p[13] = 0.1, -0.05, 1.0  # brightness/contrast
     got = jnp.stack(
-        PP._chain_planes(*_planes(img), jnp.asarray(p), *_planes(noise)), axis=-1
+        PP._chain_planes(
+            *_planes(img), jnp.asarray(p), lambda: _planes(noise)
+        ),
+        axis=-1,
     )
 
     want = P.hsv_shift(img, 5.0, 10.0, -8.0)

@@ -173,7 +173,8 @@ def test_consistency_grouped_equals_plain(toy_batch):
     outs = []
     for groups in (1, 4):
         step = S.make_consistency_step(
-            model, head, tx, task="classification", n_aug=2, data_groups=groups
+            model, head, tx, task="classification", n_aug=2, data_groups=groups,
+            donate=False,  # `state` is reused across the two group settings
         )
         s, m = step(state, t_params, t_stats, x_l, y_l, x_u, jax.random.PRNGKey(0))
         outs.append((float(m["loss"]), np.asarray(s.params["head"]["fc"]["kernel"])))
@@ -245,7 +246,8 @@ def test_data_parallel_equivalence(toy_batch):
     clf = Classifier(num_classes=6)
     tx = optim.adam(1e-3)
     state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=IMG)
-    step = S.make_pretrain_step(model, clf, tx, augment=None)
+    # donate=False: the same initial state feeds both the 1- and 8-device runs
+    step = S.make_pretrain_step(model, clf, tx, augment=None, donate=False)
     tiles = jnp.asarray(toy_batch)
     key = jax.random.PRNGKey(3)
 
@@ -287,3 +289,53 @@ def test_pretrain_step_joint_encode_runs(toy_batch):
     step = S.make_pretrain_step(model, clf, tx, augment=None, joint_encode=True)
     state, m = step(state, jnp.asarray(toy_batch), jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_multi_step_matches_sequential_single_steps(toy_batch):
+    """K scanned steps == K sequential single steps (same body, same keys),
+    and a padded invalid step leaves the state untouched."""
+    model = TripletNet("resnet18")
+    clf = Classifier(num_classes=6)
+    tx = optim.sgd_nesterov(0.01)
+    state0 = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=IMG)
+
+    k = 3
+    tiles_k = jnp.stack([jnp.asarray(toy_batch)] * k)
+    key = jax.random.PRNGKey(5)
+    multi = S.make_pretrain_multi_step(model, clf, tx, augment=None, donate=False)
+    m_state, ms = multi(state0, tiles_k, key, jnp.ones((k,)))
+    assert ms["loss"].shape == (k,)
+
+    step = S.make_pretrain_step(model, clf, tx, augment=None, donate=False)
+    s_state = state0
+    for i, ki in enumerate(jax.random.split(key, k)):
+        s_state, m = step(s_state, tiles_k[i], ki)
+        np.testing.assert_allclose(float(ms["loss"][i]), float(m["loss"]), rtol=1e-4)
+    # The per-step losses above are the tight contract; raw params drift a
+    # few 1e-4 after 3 steps because BN's rsqrt(var) amplifies the different
+    # (but individually valid) f32 reduction orders XLA picks inside vs
+    # outside the scan.
+    np.testing.assert_allclose(
+        np.asarray(m_state.params["model"]["backbone"]["conv1"]["kernel"]),
+        np.asarray(s_state.params["model"]["backbone"]["conv1"]["kernel"]),
+        atol=2e-3,
+    )
+    assert int(m_state.step) == int(s_state.step) == k
+
+    # invalid trailing step: state must pass through unchanged
+    valid = jnp.array([1.0, 1.0, 0.0])
+    p_state, _ = multi(state0, tiles_k, key, valid)
+    assert int(p_state.step) == 2
+
+
+def test_chunk_batches_stacks_and_pads():
+    from ssl_cr_histo_tpu.data.pipeline import chunk_batches
+
+    batches = [(np.full((4, 2), i, np.uint8),) for i in range(5)]
+    chunks = list(chunk_batches(iter(batches), 2))
+    assert len(chunks) == 3
+    (stacked, valid) = chunks[0]
+    assert stacked.shape == (2, 4, 2) and valid.tolist() == [1.0, 1.0]
+    (last, valid_last) = chunks[2]
+    assert valid_last.tolist() == [1.0, 0.0]
+    assert (last[0] == 4).all() and (last[1] == 0).all()
