@@ -41,7 +41,15 @@ TASKS = {
 
 def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
     """Persistent XLA compilation cache (cold compiles of the fused train
-    steps take minutes; cached reruns skip them)."""
+    steps take minutes; cached reruns skip them).
+
+    TPU/accelerator backends only: XLA:CPU's cached AOT results embed
+    machine-feature flags the loader then rejects against the same host
+    ("+prefer-no-scatter is not supported ..."), and the half-loaded
+    executables crash collective participant threads (a rendezvous abort
+    after 40 s).  CPU compiles are cheap; skip the cache there."""
+    if jax.default_backend() == "cpu":
+        return
     cache_dir = cache_dir or os.path.expanduser("~/.cache/ssl_cr_histo_tpu_xla")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -64,6 +64,9 @@ def parse_args(argv=None):
                         "Camelyon16, reference pretrain_*.py)")
     p.add_argument("--NAug", type=int, default=2, help="v2 RandAugment n")
     p.add_argument("--Magn", type=float, default=3.0, help="v2 RandAugment m")
+    p.add_argument("--no_augment", action="store_true",
+                   help="train on raw tiles (ablation / smoke-test aid; the "
+                        "reference always augments)")
     p.add_argument("--resume", default="")
     p.add_argument("--steps_per_epoch", type=int, default=0,
                    help="0 = full pass over the sampled index")
@@ -132,7 +135,8 @@ def main(argv=None):
         model, clf, tx, key, image_size=args.tile_h, lookahead_slow=True
     )
     step_kwargs = dict(
-        augment=args.variant, n_aug=args.NAug, m_aug=args.Magn,
+        augment=None if args.no_augment else args.variant,
+        n_aug=args.NAug, m_aug=args.Magn,
         aug_mode=args.aug_mode, photometric=args.photometric,
         joint_encode=args.joint_encode,
     )

@@ -39,7 +39,7 @@ def _clip01(img: jnp.ndarray) -> jnp.ndarray:
 
 def augment_rsp_batch_v1(
     key: jax.Array, triplets_u8: jnp.ndarray, mode: str = "fused",
-    photometric: str = "xla",
+    photometric: str = "xla", planar_out: bool = False,
 ) -> jnp.ndarray:
     """v1 RSP pretraining augmentation: all 8 pool ops per triplet.
 
@@ -49,21 +49,32 @@ def augment_rsp_batch_v1(
     photometric='pallas' (fused mode, TPU only): run the photometric chain
     in the VMEM-resident Pallas kernel (ops.pallas_photometric).
 
-    triplets_u8: (B, 3, H, W, 3) uint8 -> (B, 3, H, W, 3) float32.
+    triplets_u8: (B, 3, H, W, 3) uint8 -> (B, 3, H, W, 3) float32, or
+    (B, 3, 3, H, W) channel-planar with ``planar_out=True`` (pallas path
+    only) — the kernel's native layout, so the NHWC<->planar relayouts
+    around it disappear and the caller's first conv absorbs the final
+    planar->NHWC transpose for free (XLA layout assignment).
     """
     b = triplets_u8.shape[0]
-    imgs = to_float(triplets_u8)
     if mode == "fused" and photometric == "pallas":
         from ssl_cr_histo_tpu.ops import pallas_photometric as PP
 
         kg, kp = jax.random.split(key)
-        warped = jax.vmap(fused.pretrain_geo_warp_only)(
-            imgs, jax.random.split(kg, b)
+        t, h, w = triplets_u8.shape[1:4]
+        # one cheap uint8 relayout up front; planar float32 from there on
+        flat_u8 = triplets_u8.reshape(b * t, h, w, 3)
+        imgs_p = to_float(flat_u8.transpose(0, 3, 1, 2))  # (N, 3, H, W)
+        warped = jax.vmap(fused.pretrain_geo_warp_planar)(
+            imgs_p, jax.random.split(kg, b * t)
         )
-        t = warped.shape[1]
-        flat = warped.reshape(b * t, *warped.shape[2:])
-        out = PP.pretrain_photometric_pallas(flat, kp)
-        return _clip01(out.reshape(warped.shape))
+        out = _clip01(PP.pretrain_photometric_pallas(warped, kp, planar_io=True))
+        out = out.reshape(b, t, 3, h, w)
+        if planar_out:
+            return out
+        return out.transpose(0, 1, 3, 4, 2)
+    if planar_out:
+        raise ValueError("planar_out is only supported on the fused+pallas path")
+    imgs = to_float(triplets_u8)
     keys = jax.random.split(key, b)
     fn = fused.pretrain_augment_v1_fused if mode == "fused" else randaugment.pretrain_augment_v1
     return _clip01(jax.vmap(fn)(imgs, keys))
@@ -139,8 +150,13 @@ def transform_fix_batch(
 
 
 def normalize_batch(
-    imgs: jnp.ndarray, mean=DEFAULT_MEAN, std=DEFAULT_STD
+    imgs: jnp.ndarray, mean=DEFAULT_MEAN, std=DEFAULT_STD, channel_axis: int = -1
 ) -> jnp.ndarray:
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
+    if channel_axis != -1 and channel_axis != imgs.ndim - 1:
+        shape = [1] * imgs.ndim
+        shape[channel_axis] = mean.shape[0] if mean.ndim else 1
+        mean = jnp.broadcast_to(mean, (shape[channel_axis],)).reshape(shape)
+        std = jnp.broadcast_to(std, (shape[channel_axis],)).reshape(shape)
     return (imgs - mean) / std

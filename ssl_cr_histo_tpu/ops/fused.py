@@ -186,6 +186,15 @@ def pretrain_geo_warp_only(tiles: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     return jax.vmap(warp_tile)(tiles, jax.random.split(key, tiles.shape[0]))
 
 
+def pretrain_geo_warp_planar(tile_chw: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """Per-tile planar variant of the composed pretraining warp: one
+    (3, S, S) tile in, same out (see geometry.warp_affine_mxu_planar for why
+    the TPU path stays channel-planar)."""
+    s = tile_chw.shape[-1]
+    g = _pretrain_geo_matrix(key, s)
+    return geometry.warp_affine_mxu_planar(tile_chw, g, pad_mode="reflect101")
+
+
 # ---------------------------------------------------------------------------
 # v1 RandAugment, fused (reference models/randaugment.py:51-144)
 # ---------------------------------------------------------------------------

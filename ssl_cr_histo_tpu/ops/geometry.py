@@ -233,6 +233,8 @@ def _resample_pass(img: jnp.ndarray, pos: jnp.ndarray, axis: str, pad_mode: str)
     # resolution bf16 lacks) but the dots run with bf16 operands and f32
     # accumulation: weights are exact in bf16 to ~3 decimal digits, which is
     # beyond augmentation tolerance, and the MXU runs 2x faster on bf16.
+    # (CPU keeps f32 operands — XLA:CPU's thunk runtime has no bf16 dot.)
+    dot_t = _dot_operand_dtype()
     if axis == "x":
         size = img.shape[1]
         pos = _fold_coords(pos, size, pad_mode)
@@ -240,8 +242,8 @@ def _resample_pass(img: jnp.ndarray, pos: jnp.ndarray, axis: str, pad_mode: str)
         w = jnp.maximum(0.0, 1.0 - jnp.abs(i_in - pos[:, None, :]))  # (H, I, O)
         return jnp.einsum(
             "yic,yio->yoc",
-            img.astype(jnp.bfloat16),
-            w.astype(jnp.bfloat16),
+            img.astype(dot_t),
+            w.astype(dot_t),
             preferred_element_type=jnp.float32,
         )
     size = img.shape[0]
@@ -252,11 +254,17 @@ def _resample_pass(img: jnp.ndarray, pos: jnp.ndarray, axis: str, pad_mode: str)
     img_t = img.transpose(1, 0, 2)
     out = jnp.einsum(
         "xic,xio->xoc",
-        img_t.astype(jnp.bfloat16),
-        w.astype(jnp.bfloat16),
+        img_t.astype(dot_t),
+        w.astype(dot_t),
         preferred_element_type=jnp.float32,
     )
     return out.transpose(1, 0, 2)
+
+
+def _dot_operand_dtype():
+    """bf16 dot operands on accelerators (MXU 2x rate, weights exact to ~3
+    digits); f32 on CPU, whose thunk runtime cannot execute bf16 dots."""
+    return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
 
 
 _SWAP_XY = np.array([[0, 1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
@@ -326,6 +334,87 @@ def warp_affine_mxu(
     out_t = out.transpose(1, 0, 2)
     out = jnp.where(swap, out_t, out)
     return out
+
+
+def warp_affine_mxu_planar(
+    img: jnp.ndarray,
+    inv_matrix: jnp.ndarray,
+    pad_mode: str = "constant",
+) -> jnp.ndarray:
+    """``warp_affine_mxu`` on a channel-planar (C, S, S) image.
+
+    The TPU aug path keeps tiles channel-planar end-to-end: the Pallas
+    photometric kernel requires planar blocks, and the model's first conv
+    absorbs the final planar->NHWC transpose for free under XLA layout
+    assignment — so warping in planar form deletes both relayouts that the
+    NHWC warp forced around the kernel (~2 ms/batch64 on v5e).
+    """
+    c, h, w = img.shape
+    if h != w:
+        raise ValueError("warp_affine_mxu_planar requires square images")
+    img = img.astype(jnp.float32)
+    m = inv_matrix.astype(jnp.float32)
+
+    rot_dominant = jnp.abs(m[0, 0]) + jnp.abs(m[1, 1]) < jnp.abs(m[0, 1]) + jnp.abs(m[1, 0])
+    img_r = jnp.rot90(img, 1, axes=(1, 2))
+    img = jnp.where(rot_dominant, img_r, img)
+    m = jnp.where(rot_dominant, jnp.asarray(_rot90_matrix(h, w)) @ m, m)
+
+    swap = jnp.abs(m[0, 0]) > jnp.abs(m[1, 1])
+    img_t = img.transpose(0, 2, 1)
+    img = jnp.where(swap, img_t, img)
+    sm = jnp.asarray(_SWAP_XY)
+    m = jnp.where(swap, sm @ m @ sm, m)
+
+    a, b, c_ = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    e_safe = jnp.where(jnp.abs(e) < 1e-6, jnp.where(e < 0, -1e-6, 1e-6), e)
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, 1), 0)
+    os_ = jax.lax.broadcasted_iota(jnp.float32, (1, w), 1)
+
+    ap = a - b * d / e_safe
+    bp = b / e_safe
+    cp = c_ - b * f / e_safe
+    pos1 = ap * os_ + bp * ys + cp
+    tmp = _resample_pass_planar(img, pos1, "x", pad_mode)
+
+    oy = jax.lax.broadcasted_iota(jnp.float32, (h, 1), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (1, w), 1)
+    pos2 = d * xs + e * oy + f
+    out = _resample_pass_planar(tmp, pos2, "y", pad_mode)
+
+    out_t = out.transpose(0, 2, 1)
+    return jnp.where(swap, out_t, out)
+
+
+def _resample_pass_planar(img: jnp.ndarray, pos: jnp.ndarray, axis: str, pad_mode: str) -> jnp.ndarray:
+    """``_resample_pass`` for channel-planar (C, H, W) images."""
+    dot_t = _dot_operand_dtype()
+    if axis == "x":
+        size = img.shape[2]
+        pos = _fold_coords(pos, size, pad_mode)
+        i_in = jax.lax.broadcasted_iota(jnp.float32, (1, size, 1), 1)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(i_in - pos[:, None, :]))  # (H, I, O)
+        return jnp.einsum(
+            "cyi,yio->cyo",
+            img.astype(dot_t),
+            w.astype(dot_t),
+            preferred_element_type=jnp.float32,
+        )
+    size = img.shape[1]
+    pos = _fold_coords(pos, size, pad_mode)
+    i_in = jax.lax.broadcasted_iota(jnp.float32, (1, size, 1), 1)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(i_in - pos[:, None, :].transpose(2, 1, 0)))
+    # w: (X, I, O); img -> (C, X, I)
+    img_t = img.transpose(0, 2, 1)
+    out = jnp.einsum(
+        "cxi,xio->cxo",
+        img_t.astype(dot_t),
+        w.astype(dot_t),
+        preferred_element_type=jnp.float32,
+    )
+    return out.transpose(0, 2, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -305,19 +305,25 @@ def pretrain_photometric_pallas(
     interpret: bool = False,
     noise: jnp.ndarray | None = None,
     params: jnp.ndarray | None = None,
+    planar_io: bool = False,
 ) -> jnp.ndarray:
-    """Fused photometric chain over (N, H, W, 3) float32 tiles.
+    """Fused photometric chain over float32 tiles: (N, H, W, 3), or
+    (N, 3, H, W) with ``planar_io=True`` (the kernel's native layout — no
+    boundary relayouts; see the module docstring).
 
     On TPU the noise comes from the on-core PRNG; pass ``noise`` explicitly
     (and usually ``interpret=True``) on other platforms/tests.
     """
-    n, h, w, c = imgs.shape
+    if planar_io:
+        n, c, h, w = imgs.shape
+    else:
+        n, h, w, c = imgs.shape
     if params is None:
         params = draw_params(key, n)
     seeds = jax.random.randint(
         jax.random.fold_in(key, 1), (n,), minval=0, maxval=2**31 - 1, dtype=jnp.int32
     )
-    planar = imgs.transpose(0, 3, 1, 2)  # (N, 3, H, W)
+    planar = imgs if planar_io else imgs.transpose(0, 3, 1, 2)  # (N, 3, H, W)
     img_spec = pl.BlockSpec((1, c, h, w), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((n, c, h, w), jnp.float32)
     if noise is None:
@@ -340,8 +346,9 @@ def pretrain_photometric_pallas(
         out = pl.pallas_call(
             _kernel_noise_input, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,
-        )(seeds, params, planar, noise.transpose(0, 3, 1, 2))
-    return out.transpose(0, 2, 3, 1)
+        )(seeds, params, planar,
+          noise if planar_io else noise.transpose(0, 3, 1, 2))
+    return out if planar_io else out.transpose(0, 2, 3, 1)
 
 
 def reference_chain(imgs: jnp.ndarray, params: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:

@@ -109,10 +109,16 @@ def _pretrain_body(
         # reordering commute (exactly for v1, in distribution for v2).
         labels = jax.random.randint(kperm, (b,), 0, 6)
         tiles_u8 = permute_triplets(tiles_u8, labels)
+        planar = False
         if augment == "v1":
             v1_mode = "fused" if aug_mode == "fast" else aug_mode
+            # pallas path: stay channel-planar through the whole aug chain
+            # (no relayouts around the kernel); the transpose back to NHWC
+            # below is absorbed into the first conv by XLA for free.
+            planar = v1_mode == "fused" and photometric == "pallas"
             tiles = aug_batch.augment_rsp_batch_v1(
-                kaug, tiles_u8, mode=v1_mode, photometric=photometric
+                kaug, tiles_u8, mode=v1_mode, photometric=photometric,
+                planar_out=planar,
             )
         elif augment == "v2":
             tiles = aug_batch.augment_rsp_batch_v2(
@@ -120,7 +126,19 @@ def _pretrain_body(
             )
         else:
             tiles = aug_batch.to_float(tiles_u8)
-        tiles = aug_batch.normalize_batch(tiles, mean, std)
+        tiles = aug_batch.normalize_batch(
+            tiles, mean, std, channel_axis=2 if planar else -1
+        )
+        if planar:
+            # reshape-first so the NHWC conversion is a pure 4-D transpose
+            # feeding the backbone (XLA folds it into conv1's layout);
+            # the surrounding reshapes cancel against forward_joint's.
+            b_, v_, c_, h_, w_ = tiles.shape
+            tiles = (
+                tiles.reshape(b_ * v_, c_, h_, w_)
+                .transpose(0, 2, 3, 1)
+                .reshape(b_, v_, h_, w_, c_)
+            )
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_stats, acc)), grads = grad_fn(

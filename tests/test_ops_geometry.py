@@ -118,3 +118,30 @@ def test_reflect101_coord_fold():
     # for size 5: ... 3 2 1 | 0 1 2 3 4 | 3 2 1 ...
     want = np.array([3, 2, 1, 0, 1, 2, 3, 4, 3, 2, 1])
     np.testing.assert_array_equal(got, want)
+
+
+def test_warp_planar_matches_nhwc():
+    """warp_affine_mxu_planar == warp_affine_mxu (same matrix) to bf16-dot
+    tolerance, across rotation-dominant / swap-fixup regimes."""
+    import jax
+
+    from ssl_cr_histo_tpu.ops import geometry as G
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((32, 32, 3)).astype(np.float32))
+    for deg, scale in ((10.0, 1.0), (80.0, 0.7), (-45.0, 1.4), (0.0, 0.5)):
+        m = G.compose(
+            G.rotation_matrix(deg, 32, 32), G.scale_matrix(scale, 32, 32)
+        )
+        # jit: the warp's bf16 dot has no eager CPU kernel (fine under XLA)
+        want = np.asarray(
+            jax.jit(G.warp_affine_mxu, static_argnames="pad_mode")(
+                img, m, pad_mode="reflect101"
+            )
+        )
+        got = np.asarray(
+            jax.jit(G.warp_affine_mxu_planar, static_argnames="pad_mode")(
+                img.transpose(2, 0, 1), m, pad_mode="reflect101"
+            )
+        ).transpose(1, 2, 0)
+        np.testing.assert_allclose(got, want, atol=2e-2)
