@@ -65,6 +65,9 @@ def parse_args(argv=None):
     p.add_argument("--num_epoch", type=int, default=90)
     p.add_argument("--batch_size", type=int, default=0)
     p.add_argument("--lr", type=float, default=0.0)
+    p.add_argument("--multi_step", type=int, default=8,
+                   help="train steps scanned per device dispatch (lax.scan); "
+                        "1 = one dispatch per step")
     p.add_argument("--ema", type=float, default=0.0,
                    help=">0 enables EMA teacher instead of per-epoch refresh "
                         "(non-reference option; also EMAs BN stats)")
@@ -146,7 +149,7 @@ def main(argv=None):
     step = S.make_consistency_step(
         model, head, tx, task=cfg.task, lambda_u=args.lambda_u, n_aug=args.NAug,
         aug_mode=args.aug_mode, labeled_views=args.labeled_views,
-        data_groups=data_groups,
+        data_groups=data_groups, multi=args.multi_step > 1, ema=args.ema,
     )
     val_forward = S.make_forward_fn(model, head)
 
@@ -178,23 +181,48 @@ def main(argv=None):
         key, ek = jax.random.split(key)
         # epoch length = min(len(labeled), len(unlabeled)) batches
         # (reference zip(), eval_Kather_SSL_CR.py:50)
-        for (x_l, y_l), (x_u,) in zip(
-            prefetch_to_device(lab_it, sharding=sharding),
-            prefetch_to_device(unlab_it, sharding=sharding),
-        ):
-            ek, sk = jax.random.split(ek)
-            state, m = step(
-                state, teacher_params, teacher_stats, x_l, jnp.asarray(y_l), x_u, sk
+        if args.multi_step > 1:
+            from ssl_cr_histo_tpu.data.pipeline import chunk_batches
+            from ssl_cr_histo_tpu.parallel import chunk_sharding, replicated_sharding
+
+            csh, rsh = chunk_sharding(mesh), replicated_sharding(mesh)
+            pair_it = ((xl, yl, xu) for (xl, yl), (xu,) in zip(lab_it, unlab_it))
+            feed = prefetch_to_device(
+                chunk_batches(pair_it, args.multi_step),
+                sharding=((csh, csh, csh), rsh),
             )
-            tl.update(float(m["loss"]), len(y_l))
-            sl.update(float(m["sup"]), len(y_l))
-            cl.update(float(m["cons"]), len(y_l))
-            if args.ema > 0:
-                # EMA both weights AND BN running stats — otherwise the
-                # teacher would forward on frozen stage-2-era statistics
-                # while its weights drift (advisor finding, round 1).
-                teacher_params = S.ema_update(teacher_params, state.params, args.ema)
-                teacher_stats = S.ema_update(teacher_stats, state.batch_stats, args.ema)
+            for (xl_k, yl_k, xu_k), valid in feed:
+                ek, sk = jax.random.split(ek)
+                # the teacher rides the scan carry (per-step EMA inside when
+                # --ema > 0; constant across the chunk otherwise)
+                state, teacher_params, teacher_stats, ms = step(
+                    state, teacher_params, teacher_stats, xl_k, yl_k, xu_k,
+                    sk, valid,
+                )
+                bsz = xl_k.shape[1]
+                l_, s_, c_ = (np.asarray(ms[k2]) for k2 in ("loss", "sup", "cons"))
+                for j in range(int(np.asarray(valid).sum())):
+                    tl.update(float(l_[j]), bsz)
+                    sl.update(float(s_[j]), bsz)
+                    cl.update(float(c_[j]), bsz)
+        else:
+            for (x_l, y_l), (x_u,) in zip(
+                prefetch_to_device(lab_it, sharding=sharding),
+                prefetch_to_device(unlab_it, sharding=sharding),
+            ):
+                ek, sk = jax.random.split(ek)
+                state, m = step(
+                    state, teacher_params, teacher_stats, x_l, jnp.asarray(y_l), x_u, sk
+                )
+                tl.update(float(m["loss"]), len(y_l))
+                sl.update(float(m["sup"]), len(y_l))
+                cl.update(float(m["cons"]), len(y_l))
+                if args.ema > 0:
+                    # EMA both weights AND BN running stats — otherwise the
+                    # teacher would forward on frozen stage-2-era statistics
+                    # while its weights drift (advisor finding, round 1).
+                    teacher_params = S.ema_update(teacher_params, state.params, args.ema)
+                    teacher_stats = S.ema_update(teacher_stats, state.batch_stats, args.ema)
 
         if args.ema == 0:
             teacher_params, teacher_stats = S.refresh_teacher(state)

@@ -58,6 +58,9 @@ def parse_args(argv=None):
     p.add_argument("--num_epoch", type=int, default=90)
     p.add_argument("--batch_size", type=int, default=0, help="0 = task default")
     p.add_argument("--lr", type=float, default=0.0, help="0 = task default")
+    p.add_argument("--multi_step", type=int, default=8,
+                   help="train steps scanned per device dispatch (lax.scan); "
+                        "1 = one dispatch per step")
     add_common_args(p)
     return p.parse_args(argv)
 
@@ -140,7 +143,9 @@ def main(argv=None):
             state = load_backbone(state, params, {"backbone": stats["backbone"]})
         print(f"==> loaded pretrained backbone from {args.model_path}")
 
-    step = S.make_finetune_step(model, head, tx, task=cfg.task)
+    step = S.make_finetune_step(
+        model, head, tx, task=cfg.task, multi=args.multi_step > 1
+    )
     val_forward = S.make_forward_fn(model, head)
 
     os.makedirs(args.save_dir, exist_ok=True)
@@ -164,10 +169,25 @@ def main(argv=None):
             )
         else:
             it = train.batches(batch_size, seed=args.seed + epoch)
-        for imgs, labels in prefetch_to_device(it, sharding=sharding):
-            ek, sk = jax.random.split(ek)
-            state, m = step(state, imgs, jnp.asarray(labels), sk)
-            tl.update(float(m["loss"]), len(labels))
+        if args.multi_step > 1:
+            from ssl_cr_histo_tpu.data.pipeline import chunk_batches
+            from ssl_cr_histo_tpu.parallel import chunk_sharding, replicated_sharding
+
+            csh, rsh = chunk_sharding(mesh), replicated_sharding(mesh)
+            feed = prefetch_to_device(
+                chunk_batches(it, args.multi_step), sharding=((csh, csh), rsh)
+            )
+            for (imgs_k, labs_k), valid in feed:
+                ek, sk = jax.random.split(ek)
+                state, ms = step(state, imgs_k, labs_k, sk, valid)
+                losses = np.asarray(ms["loss"])
+                for j in range(int(np.asarray(valid).sum())):
+                    tl.update(float(losses[j]), imgs_k.shape[1])
+        else:
+            for imgs, labels in prefetch_to_device(it, sharding=sharding):
+                ek, sk = jax.random.split(ek)
+                state, m = step(state, imgs, jnp.asarray(labels), sk)
+                tl.update(float(m["loss"]), len(labels))
 
         # validation
         val_metric = validate(cfg, state, val, val_forward, batch_size)

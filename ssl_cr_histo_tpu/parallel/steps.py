@@ -295,14 +295,21 @@ def make_finetune_step(
     mean=aug_batch.DEFAULT_MEAN,
     std=aug_batch.DEFAULT_STD,
     donate: bool = True,
+    multi: bool = False,
 ) -> Callable:
     """Supervised fine-tune step.
 
-    batch: {'images': uint8 (B, H, W, 3), 'labels': (B,)}.
+    batch: uint8 images (B, H, W, 3) + labels (B,).
     three_view=True applies the reference's 3-view augmentation stack on
     device and flattens views into the batch dim with repeated labels
     (reference dataset.py:487-536 + eval_BreastPathQ_SSL.py:58).
     task: 'classification' (CE) or 'regression' (MSE, scalar head).
+
+    multi=True returns the K-steps-per-dispatch lax.scan variant instead:
+    multi_step(state, images (K, B, H, W, 3), labels (K, B), key, valid (K,))
+    -> (state, metrics stacked (K,)); ``valid`` masks padded trailing steps
+    of a partial final chunk (state passes through unchanged) — see
+    ``make_pretrain_multi_step``.
     """
 
     def loss_fn(params, batch_stats, images, labels):
@@ -323,7 +330,6 @@ def make_finetune_step(
             metric = jnp.mean(jnp.argmax(out, -1) == labels)
         return loss, (mutated["batch_stats"], metric)
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, images_u8: jnp.ndarray, labels: jnp.ndarray, key: jax.Array):
         if three_view:
             views = aug_batch.augment_3view_batch(key, images_u8)  # (B,3,H,W,3)
@@ -345,7 +351,27 @@ def make_finetune_step(
         )
         return state, {"loss": loss, "metric": metric}
 
-    return step
+    if not multi:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def multi_step(state: TrainState, images_u8, labels, key: jax.Array, valid):
+        keys = jax.random.split(key, images_u8.shape[0])
+
+        def scan_body(st, inp):
+            imgs, labs, k_i, v = inp
+            new_st, m = step(st, imgs, labs, k_i)
+            st = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(v > 0, n, o), new_st, st
+            )
+            return st, m
+
+        state, ms = jax.lax.scan(
+            scan_body, state, (images_u8, labels, keys, valid.astype(jnp.float32))
+        )
+        return state, ms
+
+    return multi_step
 
 
 def make_forward_fn(model, head, mean=aug_batch.DEFAULT_MEAN, std=aug_batch.DEFAULT_STD):
@@ -430,6 +456,8 @@ def make_consistency_step(
     mean=aug_batch.DEFAULT_MEAN,
     std=aug_batch.DEFAULT_STD,
     donate: bool = True,
+    multi: bool = False,
+    ema: float = 0.0,
 ) -> Callable:
     """FixMatch-style teacher/student step (reference eval_Kather_SSL_CR.py:
     37-127).
@@ -447,6 +475,16 @@ def make_consistency_step(
     data_groups: size of the mesh data axis; the labeled+strong concat is
     interleaved per device shard so it compiles with zero collectives (see
     ``grouped_concat``).  Requires both sub-batches divisible by it.
+
+    multi=True returns the K-steps-per-dispatch lax.scan variant:
+    multi_step(state, teacher_params, teacher_stats, x_l (K,B,...),
+    y_l (K,B), x_u (K,uB,...), key, valid (K,)) ->
+    (state, teacher_params, teacher_stats, metrics stacked (K,)).
+    The teacher rides the scan carry: with ``ema`` > 0 it EMA-updates
+    (weights and BN stats) after every inner step, exactly like the
+    per-dispatch loop; with ema == 0 it is constant across the chunk
+    (per-epoch refresh stays in the epoch loop).  ``valid`` masks padded
+    trailing steps of a partial final chunk.
     """
 
     def loss_fn(params, batch_stats, teacher_params, teacher_stats,
@@ -481,7 +519,6 @@ def make_consistency_step(
         loss = sup + lambda_u * cons
         return loss, (mutated["batch_stats"], sup, cons, metric)
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(
         state: TrainState,
         teacher_params,
@@ -510,7 +547,47 @@ def make_consistency_step(
         )
         return state, {"loss": loss, "sup": sup, "cons": cons, "metric": metric}
 
-    return step
+    if not multi:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
+    def multi_step(
+        state: TrainState,
+        teacher_params,
+        teacher_stats,
+        x_l_u8, y_l, x_u_u8,   # each stacked (K, B, ...)
+        key: jax.Array,
+        valid,                 # (K,)
+    ):
+        keys = jax.random.split(key, x_l_u8.shape[0])
+
+        def scan_body(carry, inp):
+            st, t_params, t_stats = carry
+            xl, yl, xu, k_i, v = inp
+            new_st, m = step(st, t_params, t_stats, xl, yl, xu, k_i)
+            st = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(v > 0, n, o), new_st, st
+            )
+            if ema > 0:
+                # per-step EMA teacher (weights AND BN stats) inside the scan
+                new_tp = ema_update(t_params, st.params, ema)
+                new_ts = ema_update(t_stats, st.batch_stats, ema)
+                t_params = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(v > 0, n, o), new_tp, t_params
+                )
+                t_stats = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(v > 0, n, o), new_ts, t_stats
+                )
+            return (st, t_params, t_stats), m
+
+        (state, teacher_params, teacher_stats), ms = jax.lax.scan(
+            scan_body,
+            (state, teacher_params, teacher_stats),
+            (x_l_u8, y_l, x_u_u8, keys, valid.astype(jnp.float32)),
+        )
+        return state, teacher_params, teacher_stats, ms
+
+    return multi_step
 
 
 def refresh_teacher(state: TrainState):

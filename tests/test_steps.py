@@ -339,3 +339,104 @@ def test_chunk_batches_stacks_and_pads():
     (last, valid_last) = chunks[2]
     assert valid_last.tolist() == [1.0, 0.0]
     assert (last[0] == 4).all() and (last[1] == 0).all()
+
+
+def test_finetune_multi_step_matches_sequential(toy_batch):
+    """K scanned finetune steps == K sequential single steps (same keys),
+    and an invalid trailing step leaves the state untouched."""
+    model = TripletNet("resnet18")
+    head = FinetuneHead(num_classes=9)
+    tx = optim.sgd_nesterov(0.01)
+    state0 = init_triplet_state(
+        model, head, tx, jax.random.PRNGKey(0), image_size=IMG, triplet=False
+    )
+    k = 2
+    imgs_k = jnp.stack([jnp.asarray(toy_batch[:, 0])] * k)
+    labs_k = jnp.stack([jnp.arange(8) % 9] * k)
+    key = jax.random.PRNGKey(11)
+
+    multi = S.make_finetune_step(
+        model, head, tx, task="classification", donate=False, multi=True
+    )
+    m_state, ms = multi(state0, imgs_k, labs_k, key, jnp.ones((k,)))
+    assert ms["loss"].shape == (k,)
+
+    step = S.make_finetune_step(model, head, tx, task="classification", donate=False)
+    s_state = state0
+    for i, ki in enumerate(jax.random.split(key, k)):
+        s_state, m = step(s_state, imgs_k[i], labs_k[i], ki)
+        np.testing.assert_allclose(float(ms["loss"][i]), float(m["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(m_state.params["head"]["fc"]["kernel"]),
+        np.asarray(s_state.params["head"]["fc"]["kernel"]),
+        atol=2e-3,
+    )
+    assert int(m_state.step) == int(s_state.step) == k
+
+    p_state, _ = multi(state0, imgs_k, labs_k, key, jnp.array([1.0, 0.0]))
+    assert int(p_state.step) == 1
+
+
+def test_consistency_multi_step_matches_sequential(toy_batch):
+    """K scanned consistency steps == K sequential steps, including the
+    per-step EMA teacher riding the scan carry."""
+    model = TripletNet("resnet18")
+    head = FinetuneHead(num_classes=9)
+    tx = optim.sgd_nesterov(0.01)
+    state0 = init_triplet_state(
+        model, head, tx, jax.random.PRNGKey(0), image_size=IMG, triplet=False
+    )
+    t_params0, t_stats0 = S.refresh_teacher(state0)
+    k = 2
+    ema = 0.9
+    xl_k = jnp.stack([jnp.asarray(toy_batch[:4, 0])] * k)
+    yl_k = jnp.stack([jnp.arange(4) % 9] * k)
+    xu_k = jnp.stack([jnp.asarray(toy_batch[:, 0])] * k)
+    key = jax.random.PRNGKey(13)
+
+    multi = S.make_consistency_step(
+        model, head, tx, task="classification", n_aug=2,
+        donate=False, multi=True, ema=ema,
+    )
+    m_state, m_tp, m_ts, ms = multi(
+        state0, t_params0, t_stats0, xl_k, yl_k, xu_k, key, jnp.ones((k,))
+    )
+    assert ms["loss"].shape == (k,)
+
+    step = S.make_consistency_step(
+        model, head, tx, task="classification", n_aug=2, donate=False
+    )
+    s_state, tp, ts = state0, t_params0, t_stats0
+    for i, ki in enumerate(jax.random.split(key, k)):
+        s_state, m = step(s_state, tp, ts, xl_k[i], yl_k[i], xu_k[i], ki)
+        np.testing.assert_allclose(float(ms["loss"][i]), float(m["loss"]), rtol=1e-4)
+        tp = S.ema_update(tp, s_state.params, ema)
+        ts = S.ema_update(ts, s_state.batch_stats, ema)
+    np.testing.assert_allclose(
+        np.asarray(m_state.params["head"]["fc"]["kernel"]),
+        np.asarray(s_state.params["head"]["fc"]["kernel"]),
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_tp["head"]["fc"]["kernel"]),
+        np.asarray(tp["head"]["fc"]["kernel"]),
+        atol=2e-3,
+    )
+
+    # ema=0 variant: the teacher must come back exactly unchanged
+    multi0 = S.make_consistency_step(
+        model, head, tx, task="classification", n_aug=2, donate=False, multi=True,
+    )
+    _, tp0, ts0, _ = multi0(
+        state0, t_params0, t_stats0, xl_k, yl_k, xu_k, key, jnp.ones((k,))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tp0["head"]["fc"]["kernel"]),
+        np.asarray(t_params0["head"]["fc"]["kernel"]),
+    )
+
+    # invalid trailing step: state and teacher pass through
+    p_state, p_tp, _, _ = multi(
+        state0, t_params0, t_stats0, xl_k, yl_k, xu_k, key, jnp.array([1.0, 0.0])
+    )
+    assert int(p_state.step) == 1
