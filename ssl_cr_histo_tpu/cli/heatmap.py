@@ -66,7 +66,8 @@ def main(argv=None):
     sharding = batch_sharding(mesh)
 
     def forward_sharded(patches):
-        return forward(state, jax.device_put(patches, sharding))
+        # patches arrive pre-transferred by the prefetch thread (put_fn)
+        return forward(state, patches)
 
     wsipaths = []
     for ext in ("tif", "svs", "npy"):
@@ -88,6 +89,7 @@ def main(argv=None):
             forward_sharded,
             image_size=args.image_size,
             batch_size=args.batch_size,
+            put_fn=lambda p: jax.device_put(p, sharding),
         )
         save_heatmap_artifacts(probs_map, args.probs_map_path, wsi_id)
         print(f"==> wrote {args.probs_map_path}/{wsi_id}*")

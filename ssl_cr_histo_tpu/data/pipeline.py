@@ -163,6 +163,53 @@ def prefetch_to_device(
         raise errors[0]
 
 
+def prefetch_iter(it: Iterable, size: int = 2, map_fn=None) -> Iterator:
+    """Run `it` (and optionally `map_fn` on each item) on a background
+    thread, `size` items ahead of the consumer.  Host-side counterpart of
+    ``prefetch_to_device`` for pipelines that manage their own device
+    transfer (e.g. the heatmap serving loop, which device_puts inside
+    `map_fn` so the H2D copy also overlaps compute).  Stops the worker if
+    the consumer goes away early; re-raises worker errors."""
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+    stop = threading.Event()
+    errors = []
+
+    def q_put(obj) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for item in it:
+                if not q_put(item if map_fn is None else map_fn(item)):
+                    return
+        except BaseException as e:
+            errors.append(e)
+        finally:
+            q_put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+    finally:
+        stop.set()
+        t.join(timeout=10.0)
+    if errors:
+        raise errors[0]
+
+
 def zip_shortest(*iters):
     """zip() over batch iterators — the reference's zip(labeled, unlabeled)
     epoch convention (epoch length = min; eval_Kather_SSL_CR.py:50)."""

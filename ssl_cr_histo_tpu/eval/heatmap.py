@@ -114,22 +114,53 @@ def compute_probs_map(
     image_size: int = 256,
     batch_size: int = 256,
     io_threads: int = 8,
+    put_fn: Callable[[np.ndarray], object] = None,
+    prefetch: int = 2,
 ) -> np.ndarray:
     """Run sliding-window inference and return the (X_mask, Y_mask) tumor
     probability map (reference test_Camelyon16.py:30-70).
 
     forward_fn: uint8 (B, S, S, 3) -> logits (B, 2); tumor prob is
     softmax[:, -1].
+    put_fn: optional host->device transfer applied to each patch batch ON
+    THE PREFETCH THREAD (e.g. a sharded ``jax.device_put``), so the H2D
+    copy overlaps compute.
+
+    The loop is a 3-deep pipeline: patch reads (+H2D) run ``prefetch``
+    batches ahead on a background thread; the device result of batch k is
+    fetched only AFTER batch k+1's forward has been dispatched (JAX's async
+    dispatch makes ``forward_fn`` non-blocking), so the host-side softmax/
+    scatter and the device->host sync hide under the next batch's compute.
+    The reference runs the same loop fully serialized
+    (test_Camelyon16.py:41-57: DataLoader -> forward -> .cpu() each step).
     """
     x_idcs, y_idcs, resolution = mask_work_list(reader, mask)
     probs_map = np.zeros(mask.shape, np.float32)
-    for patches, xs, ys, n_valid in _iter_patch_batches(
+
+    batches = _iter_patch_batches(
         reader, x_idcs, y_idcs, resolution, image_size, batch_size, io_threads
-    ):
-        logits = np.asarray(forward_fn(patches))
+    )
+    if put_fn is not None:
+        map_fn = lambda b: (put_fn(b[0]),) + b[1:]  # noqa: E731
+    else:
+        map_fn = None
+    from ssl_cr_histo_tpu.data.pipeline import prefetch_iter
+
+    def drain(pending) -> None:
+        logits, xs, ys, n_valid = pending
+        logits = np.asarray(logits)
         ex = np.exp(logits - logits.max(axis=-1, keepdims=True))
         probs = (ex / ex.sum(axis=-1, keepdims=True))[:n_valid, -1]
         probs_map[xs, ys] = probs
+
+    pending = None
+    for patches, xs, ys, n_valid in prefetch_iter(batches, prefetch, map_fn):
+        logits = forward_fn(patches)  # async dispatch — do not block here
+        if pending is not None:
+            drain(pending)
+        pending = (logits, xs, ys, n_valid)
+    if pending is not None:
+        drain(pending)
     return probs_map
 
 
