@@ -173,6 +173,24 @@ def test_heatmap_cli_end_to_end(tmp_path):
     assert pm.shape == (32, 32)
     assert (out_dir / "t1_heatmap.png").exists()
 
+    # chain into the FROC CLI: heatmap outputs are directly scoreable
+    from ssl_cr_histo_tpu.cli import froc
+
+    gt_dir = tmp_path / "gt"
+    os.makedirs(gt_dir)
+    gt = np.zeros((32, 32), np.uint8)
+    gt[8:12, 8:12] = 1
+    np.save(gt_dir / "t1.npy", gt)
+    froc_out = tmp_path / "froc.json"
+    froc.main([
+        "--probs_map_path", str(out_dir),
+        "--gt_path", str(gt_dir),
+        "--threshold", "0.4",
+        "--out", str(froc_out),
+    ])
+    report = json.loads(froc_out.read_text())
+    assert report["n_slides"] == 1 and 0.0 <= report["froc"] <= 1.0
+
 
 def test_full_three_stage_pipeline(tmp_path, kather_dirs):
     """The complete recipe: RSP pretrain -> SSL fine-tune initialized from

@@ -438,3 +438,32 @@ def test_mesh_for_batch_divisibility():
         m4 = mesh_for_batch(4)
         assert int(m4.shape["data"]) == 4
         assert any("not divisible" in str(x.message) for x in w)
+
+
+def test_prefetch_iter_host_side():
+    """prefetch_iter: order-preserving, map_fn applied on the worker,
+    errors re-raised, early break stops the worker."""
+    import threading
+    import time
+
+    items = list(range(20))
+    out = list(P.prefetch_iter(iter(items), size=3, map_fn=lambda x: x * 2))
+    assert out == [x * 2 for x in items]
+
+    def bad():
+        yield 1
+        raise RuntimeError("loader boom")
+
+    with pytest.raises(RuntimeError, match="loader boom"):
+        list(P.prefetch_iter(bad(), size=2))
+
+    before = threading.active_count()
+    g = P.prefetch_iter(iter(range(1000)), size=2)
+    for i in g:
+        if i == 3:
+            break
+    g.close()
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
