@@ -92,6 +92,12 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="bfloat16 backbone compute (params stay f32)")
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
     parser.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize backbone blocks on backward (jax.checkpoint): "
+             "~30%% more FLOPs for O(depth) less activation HBM — fits "
+             "larger per-chip batches (e.g. resnet50 batch 128 at 256^2)",
+    )
+    parser.add_argument(
         "--aug_mode", default="fused", choices=["fused", "fast", "exact"],
         help="fused = single-warp TPU fast path; fast = masked-application "
              "v2 variant (exact selection law, canonical op order); exact = "

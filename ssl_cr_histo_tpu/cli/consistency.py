@@ -83,7 +83,7 @@ def main(argv=None):
     mesh = mesh_for_batch(batch_size)
     sharding = batch_sharding(mesh)
 
-    model = TripletNet(args.model, dtype=model_dtype(args))
+    model = TripletNet(args.model, dtype=model_dtype(args), remat=args.remat)
     head = FinetuneHead(num_classes=cfg.num_classes)
 
     if args.mode == "evaluation":

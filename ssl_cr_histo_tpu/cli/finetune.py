@@ -81,7 +81,7 @@ def load_train_data(args, cfg):
 
 
 def build_state(args, cfg, key):
-    model = TripletNet(args.model, dtype=model_dtype(args))
+    model = TripletNet(args.model, dtype=model_dtype(args), remat=args.remat)
     head = FinetuneHead(num_classes=cfg.num_classes)
     lr = args.lr or cfg.lr
     base_tx = make_optimizer(cfg.optimizer, lr)

@@ -45,7 +45,7 @@ def main(argv=None):
     args.image_size = args.image_size or 256
     seed_everything(args.seed)
 
-    model = TripletNet(args.model, dtype=model_dtype(args))
+    model = TripletNet(args.model, dtype=model_dtype(args), remat=args.remat)
     head = FinetuneHead(num_classes=2)
     tx = optim.adam(1e-4)
     state = init_triplet_state(

@@ -128,7 +128,7 @@ def main(argv=None):
         if va_rows:
             val_positions.append(TripletIndex(idx.slide_path, idx.coords[va_rows]))
 
-    model = TripletNet(args.model, dtype=model_dtype(args))
+    model = TripletNet(args.model, dtype=model_dtype(args), remat=args.remat)
     clf = Classifier(num_classes=6)
     tx = optim.sgd_nesterov(args.lr, momentum=0.9, weight_decay=args.weight_decay)
     state = init_triplet_state(

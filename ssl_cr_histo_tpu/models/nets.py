@@ -57,9 +57,10 @@ class TripletNet(nn.Module):
 
     model_name: str = "resnet18"
     dtype: Any = jnp.float32
+    remat: bool = False  # see models.resnet.ResNet.remat
 
     def setup(self):
-        self.backbone = make_backbone(self.model_name, dtype=self.dtype)
+        self.backbone = make_backbone(self.model_name, dtype=self.dtype, remat=self.remat)
         self.fc = _PairFC(self.model_name, dtype=self.dtype)
 
     def __call__(self, i1, i2, i3, train: bool = True):

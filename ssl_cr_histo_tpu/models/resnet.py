@@ -120,6 +120,10 @@ class ResNet(nn.Module):
     block_cls: Callable
     num_filters: int = 64
     dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize each block's activations on the
+    # backward pass (jax.checkpoint): trades ~30% more FLOPs for O(depth)
+    # less HBM, fitting much larger per-chip batches (e.g. resnet50 b=128
+    # at 256^2, which OOMs a v5e without it). Param tree is unchanged.
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -130,10 +134,11 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         # torch maxpool(3, stride 2, padding 1)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        block_cls = nn.remat(self.block_cls) if self.remat else self.block_cls
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
-                x = self.block_cls(
+                x = block_cls(
                     filters=self.num_filters * 2**i,
                     strides=strides,
                     dtype=self.dtype,
@@ -144,20 +149,20 @@ class ResNet(nn.Module):
         return x.astype(jnp.float32)
 
 
-def ResNet18(dtype=jnp.float32) -> ResNet:
-    return ResNet(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, dtype=dtype)
+def ResNet18(dtype=jnp.float32, remat=False) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, dtype=dtype, remat=remat)
 
 
-def ResNet50(dtype=jnp.float32) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, dtype=dtype)
+def ResNet50(dtype=jnp.float32, remat=False) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, dtype=dtype, remat=remat)
 
 
 RESNET_FEATURE_DIM = {"resnet18": 512, "resnet50": 2048}
 
 
-def make_backbone(name: str, dtype=jnp.float32) -> ResNet:
+def make_backbone(name: str, dtype=jnp.float32, remat: bool = False) -> ResNet:
     if name == "resnet18":
-        return ResNet18(dtype=dtype)
+        return ResNet18(dtype=dtype, remat=remat)
     if name == "resnet50":
-        return ResNet50(dtype=dtype)
+        return ResNet50(dtype=dtype, remat=remat)
     raise NotImplementedError(f"not supported model type: {name}")

@@ -95,3 +95,36 @@ def test_resnet50_variant():
     order = torch_param_order("resnet50")
     n_bb = len(jax.tree_util.tree_leaves(variables["params"]["backbone"]))
     assert len(order) == n_bb + 4
+
+
+def test_remat_param_and_grad_equivalence():
+    """remat=True must keep the exact param tree (checkpoint compatible)
+    and produce the same loss/gradients as the plain backbone."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssl_cr_histo_tpu.models import TripletNet
+
+    x = jnp.asarray(
+        (np.random.default_rng(0).random((2, 32, 32, 3)) * 255).astype(np.float32) / 255.0
+    )
+    key = jax.random.PRNGKey(0)
+    plain = TripletNet("resnet18")
+    remat = TripletNet("resnet18", remat=True)
+    v_p = plain.init(key, x, x, x, train=False)
+    v_r = remat.init(key, x, x, x, train=False)
+    assert jax.tree_util.tree_structure(v_p) == jax.tree_util.tree_structure(v_r)
+
+    def loss(variables, model):
+        out, mut = model.apply(
+            variables, x, train=True, method=model.encode_single,
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(out**2)
+
+    l_p, g_p = jax.value_and_grad(loss)(v_p, plain)
+    l_r, g_r = jax.value_and_grad(loss)(v_r, remat)
+    np.testing.assert_allclose(float(l_p), float(l_r), rtol=1e-6)
+    gp = g_p["params"]["backbone"]["conv1"]["kernel"]
+    gr = g_r["params"]["backbone"]["conv1"]["kernel"]
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=1e-5)
