@@ -68,6 +68,12 @@ def parse_args(argv=None):
     p.add_argument("--multi_step", type=int, default=8,
                    help="train steps scanned per device dispatch (lax.scan); "
                         "1 = one dispatch per step")
+    p.add_argument("--resume", default="",
+                   help="checkpoint dir to resume from, or 'auto' for the "
+                        "latest ckpt_N under save_dir (reference "
+                        "eval_Kather_SSL_CR.py --resume)")
+    p.add_argument("--save_freq", type=int, default=30,
+                   help="epochs between periodic ckpt_N checkpoints (0 = off)")
     p.add_argument("--ema", type=float, default=0.0,
                    help=">0 enables EMA teacher instead of per-epoch refresh "
                         "(non-reference option; also EMAs BN stats)")
@@ -160,7 +166,31 @@ def main(argv=None):
     )
     best = BestTracker(args.save_dir, mode="min")
 
-    for epoch in range(1, args.num_epoch + 1):
+    start_epoch = 1
+    resume_path = args.resume
+    if resume_path == "auto":
+        from ssl_cr_histo_tpu.train.checkpoint import latest_checkpoint
+
+        resume_path = latest_checkpoint(args.save_dir) or ""
+    if resume_path:
+        state, rmeta = restore_checkpoint(resume_path, state)
+        start_epoch = int(rmeta.get("epoch", 0)) + 1
+        if rmeta.get("best_val") is not None:
+            best.best = float(rmeta["best_val"])
+        # teacher: per-epoch refresh mode re-derives it from the student at
+        # the epoch boundary (teacher == student there by construction);
+        # EMA mode restores its own persisted copy.
+        teacher_path = resume_path.replace("ckpt_", "teacher_ckpt_")
+        if args.ema > 0 and os.path.isdir(teacher_path):
+            tstate, _ = restore_checkpoint(teacher_path, state, restore_opt=False)
+            teacher_params, teacher_stats = tstate.params, tstate.batch_stats
+        else:
+            teacher_params, teacher_stats = S.refresh_teacher(state)
+        for _ in range(start_epoch - 1):
+            key, _ = jax.random.split(key)
+        print(f"==> resumed from {resume_path} (epoch {start_epoch - 1})")
+
+    for epoch in range(start_epoch, args.num_epoch + 1):
         t0 = time.time()
         tl, sl, cl = M.AverageMeter(), M.AverageMeter(), M.AverageMeter()
         if cfg.name == "camelyon16":
@@ -236,6 +266,15 @@ def main(argv=None):
         meta = {"epoch": epoch, "args": vars(args), "val_metric": val_metric}
         if best.update(val_metric, epoch, state, meta):
             print(f"==> new best {val_metric:.4f}")
+        if args.save_freq and epoch % args.save_freq == 0:
+            meta["best_val"] = best.best if np.isfinite(best.best) else None
+            save_checkpoint(os.path.join(args.save_dir, f"ckpt_{epoch}"), state, meta)
+            if args.ema > 0:
+                save_checkpoint(
+                    os.path.join(args.save_dir, f"teacher_ckpt_{epoch}"),
+                    state.replace(params=teacher_params, batch_stats=teacher_stats),
+                    {"epoch": epoch, "role": "teacher"},
+                )
     # The reference checkpoints both teacher and student state_dicts
     # (eval_BreastPathQ_SSL_CR.py:519-533).  With per-epoch refresh the
     # teacher equals the student by construction — recorded in the meta;

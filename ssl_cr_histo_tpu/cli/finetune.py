@@ -61,6 +61,12 @@ def parse_args(argv=None):
     p.add_argument("--multi_step", type=int, default=8,
                    help="train steps scanned per device dispatch (lax.scan); "
                         "1 = one dispatch per step")
+    p.add_argument("--resume", default="",
+                   help="checkpoint dir to resume from, or 'auto' for the "
+                        "latest ckpt_N under save_dir (reference "
+                        "eval_Kather_SSL.py:427-442)")
+    p.add_argument("--save_freq", type=int, default=30,
+                   help="epochs between periodic ckpt_N checkpoints (0 = off)")
     add_common_args(p)
     return p.parse_args(argv)
 
@@ -155,7 +161,24 @@ def main(argv=None):
     )
     best = BestTracker(args.save_dir, mode="min")
 
-    for epoch in range(1, args.num_epoch + 1):
+    start_epoch = 1
+    resume_path = args.resume
+    if resume_path == "auto":
+        from ssl_cr_histo_tpu.train.checkpoint import latest_checkpoint
+
+        resume_path = latest_checkpoint(args.save_dir) or ""
+    if resume_path:
+        state, rmeta = restore_checkpoint(resume_path, state)
+        start_epoch = int(rmeta.get("epoch", 0)) + 1
+        if rmeta.get("best_val") is not None:
+            best.best = float(rmeta["best_val"])
+        # advance the epoch key chain so augmentation randomness continues
+        # where the interrupted run left off
+        for _ in range(start_epoch - 1):
+            key, _ = jax.random.split(key)
+        print(f"==> resumed from {resume_path} (epoch {start_epoch - 1})")
+
+    for epoch in range(start_epoch, args.num_epoch + 1):
         t0 = time.time()
         tl = M.AverageMeter()
         key, ek = jax.random.split(key)
@@ -200,6 +223,9 @@ def main(argv=None):
         meta = {"epoch": epoch, "args": vars(args), "val_metric": val_metric}
         if best.update(val_metric, epoch, state, meta):
             print(f"==> new best {val_metric:.4f}")
+        if args.save_freq and epoch % args.save_freq == 0:
+            meta["best_val"] = best.best if np.isfinite(best.best) else None
+            save_checkpoint(os.path.join(args.save_dir, f"ckpt_{epoch}"), state, meta)
     save_checkpoint(os.path.join(args.save_dir, "final"), state, {"epoch": args.num_epoch})
 
 

@@ -279,3 +279,33 @@ def test_convert_annotations_cli(tmp_path):
     convert_annotations.main(["--xml_dir", str(xml_dir), "--json_dir", str(json_dir)])
     doc = json.loads((json_dir / "tumor_001.json").read_text())
     assert len(doc["positive"]) == 1
+
+
+def test_finetune_cli_resume(kather_dirs, tmp_path):
+    """Interrupt-and-resume: a run stopped at epoch 2 continues from there
+    (epochs 3-4 only), appending to the same CSV and best tracking."""
+    from ssl_cr_histo_tpu.cli import finetune
+
+    save = tmp_path / "run"
+    base_args = [
+        "--task", "kather",
+        "--train_path", str(kather_dirs / "train"),
+        "--batch_size", "8",
+        "--modules", "60",
+        "--validation_split", "0.25",
+        "--save_dir", str(save),
+        "--image_size", "32",
+        "--save_freq", "2",
+        "--no-bf16",
+    ]
+    finetune.main(base_args + ["--num_epoch", "2"])
+    assert (save / "ckpt_2" / "checkpoint.msgpack").exists()
+
+    finetune.main(base_args + ["--num_epoch", "4", "--resume", "auto"])
+    lines = (save / "fine_tuned_results.csv").read_text().strip().splitlines()
+    # header + epochs 1,2 (first run) + 3,4 (resumed) — no replays
+    assert len(lines) == 5
+    assert [ln.split(",")[0] for ln in lines[1:]] == ["1", "2", "3", "4"]
+    assert (save / "ckpt_4" / "checkpoint.msgpack").exists()
+    meta = json.loads((save / "ckpt_4" / "meta.json").read_text())
+    assert meta["epoch"] == 4
