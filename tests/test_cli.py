@@ -309,3 +309,45 @@ def test_finetune_cli_resume(kather_dirs, tmp_path):
     assert (save / "ckpt_4" / "checkpoint.msgpack").exists()
     meta = json.loads((save / "ckpt_4" / "meta.json").read_text())
     assert meta["epoch"] == 4
+
+
+def test_consistency_cli_resume(kather_dirs, tmp_path):
+    """CR resume with an EMA teacher: the teacher restores from its own
+    teacher_ckpt_N rather than being re-derived from the student."""
+    from ssl_cr_histo_tpu.cli import consistency, finetune
+
+    ft = tmp_path / "ft"
+    finetune.main([
+        "--task", "kather",
+        "--train_path", str(kather_dirs / "train"),
+        "--num_epoch", "1",
+        "--batch_size", "8",
+        "--validation_split", "0.25",
+        "--save_dir", str(ft),
+        "--image_size", "32",
+        "--no-bf16",
+    ])
+    cr = tmp_path / "cr"
+    base_args = [
+        "--task", "kather",
+        "--train_path", str(kather_dirs / "train"),
+        "--finetune_ckpt", str(ft / "final"),
+        "--batch_size", "4",
+        "--mu", "2",
+        "--NAug", "2",
+        "--labeled_train", "0.5",
+        "--validation_split", "0.25",
+        "--save_dir", str(cr),
+        "--image_size", "32",
+        "--save_freq", "1",
+        "--ema", "0.99",
+        "--no-bf16",
+    ]
+    consistency.main(base_args + ["--num_epoch", "1"])
+    assert (cr / "ckpt_1" / "checkpoint.msgpack").exists()
+    assert (cr / "teacher_ckpt_1" / "checkpoint.msgpack").exists()
+
+    consistency.main(base_args + ["--num_epoch", "2", "--resume", "auto"])
+    lines = (cr / "consistency_results.csv").read_text().strip().splitlines()
+    assert [ln.split(",")[0] for ln in lines[1:]] == ["1", "2"]
+    assert (cr / "teacher_ckpt_2" / "checkpoint.msgpack").exists()
