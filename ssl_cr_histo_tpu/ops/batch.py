@@ -142,6 +142,12 @@ def transform_fix_batch(
     """
     b = imgs_u8.shape[0]
     imgs = to_float(imgs_u8)
+    if mode == "fast":
+        # batch-shared strong-aug op sequence (scalar switch: only the
+        # drawn op body executes per stage); per-image params/magnitudes.
+        # See fused.randaugment_v1_shared_batch for the law note.
+        weak, strong = fused.transform_fix_fast_batch(key, imgs, n=n, m=m)
+        return _clip01(weak), _clip01(strong)
     keys = jax.random.split(key, b)
     base = fused.transform_fix_fused if mode == "fused" else randaugment.transform_fix
     fn = partial(base, n=n, m=m)

@@ -296,6 +296,105 @@ def transform_fix_fused(img: jnp.ndarray, key: jax.Array, n: int = 7, m: int = 1
     return weak, strong
 
 
+def randaugment_v1_shared_batch(
+    imgs: jnp.ndarray, key: jax.Array, n: int, m: int
+) -> jnp.ndarray:
+    """Batch-level v1 RandAugment with a batch-SHARED op sequence.
+
+    The per-image formulation (``randaugment_v1_fused`` under vmap) turns
+    each stage's 9-way ``lax.switch`` into compute-all-branches-and-select:
+    every image pays for every op body at every stage (n x 9 bodies).  Here
+    the n op indices draw ONCE per batch, so the switch index is a scalar
+    and XLA executes only the drawn op's body per stage (~9x less VPU
+    work), while magnitudes, op parameters, and the per-op p=0.5 gates stay
+    independent per image.
+
+    Law: each image's marginal distribution — op selection (n with-
+    replacement draws over 9), magnitude `(v/30)(max-min)+min`, parameter
+    and gate laws — is exactly the reference RandAugment's
+    (models/randaugment.py:125-144).  What is given up is independence of
+    the op SEQUENCE across images in one batch (they share selection and
+    order, redrawn per batch) — the same sharing the reference itself uses
+    across a pretrain triplet (dataset.py:181-187).  Behind
+    ``--aug_mode fast``; default stays per-image.
+
+    imgs: (B, S, S, 3) float in [0, 1].
+    """
+    from ssl_cr_histo_tpu.ops.randaugment import (
+        _v1_blur,
+        _v1_brightness,
+        _v1_color,
+        _v1_contrast,
+        _v1_hsv,
+        _v1_noise,
+    )
+
+    b, s = imgs.shape[0], imgs.shape[1]
+
+    def photo(f):
+        def branch(a):
+            ims, g, v, ks = a
+            return jax.vmap(f)(ims, v, ks), g
+
+        return branch
+
+    def geo(f):
+        def branch(a):
+            ims, g, v, ks = a
+            ims2, mats = jax.vmap(lambda im, vi, ki: f(im, vi, ki, s))(ims, v, ks)
+            return ims2, jnp.matmul(g, mats)
+
+        return branch
+
+    # branch order matches randaugment_v1_fused (same op-index semantics)
+    branches = [
+        photo(_v1_hsv),
+        photo(_v1_noise),
+        geo(_ra1_geo_scale_resize_crop),
+        geo(_ra1_geo_shift_scale_rotate),
+        photo(_v1_color),
+        photo(_v1_blur),
+        photo(_v1_brightness),
+        photo(_v1_contrast),
+        geo(_ra1_geo_rotate_crop),
+    ]
+
+    kop, kmag, kparam = jax.random.split(key, 3)
+    op_idx = jax.random.randint(kop, (n,), 0, len(branches))  # batch-shared
+    v = jax.random.randint(kmag, (n, b), 1, m)  # per image
+    kparams = jax.random.split(kparam, n * b).reshape(n, b, -1)
+
+    def stage(carry, xs):
+        ims, g = carry
+        i, vi, ki = xs
+        ims, g = jax.lax.switch(i, branches, (ims, g, vi, ki))
+        return (ims, g), None
+
+    g0 = jnp.tile(_identity3()[None], (b, 1, 1))
+    (imgs, g), _ = jax.lax.scan(stage, (imgs, g0), (op_idx, v, kparams))
+    return jax.vmap(
+        lambda im, gi: geometry.warp_affine_mxu(im, gi, pad_mode="reflect101")
+    )(imgs, g)
+
+
+def transform_fix_fast_batch(
+    key: jax.Array, imgs: jnp.ndarray, n: int = 7, m: int = 10
+):
+    """Batch-level weak/strong views using the shared-sequence strong aug
+    (see ``randaugment_v1_shared_batch``).  imgs: (B, S, S, 3) float."""
+    b = imgs.shape[0]
+    kw, ks1, ks2 = jax.random.split(key, 3)
+    flipped = imgs[:, :, ::-1, :]
+
+    def flip(k):
+        gate = jax.random.bernoulli(k, 0.5, (b, 1, 1, 1))
+        return jnp.where(gate, flipped, imgs)
+
+    weak = flip(kw)
+    strong = randaugment_v1_shared_batch(flip(ks1), ks2, n=n, m=m)
+    return weak, strong
+
+
 # ---------------------------------------------------------------------------
 # v2 RandAugment, fused (Pretraining_v2/models/randaugment.py:176-213)
 # ---------------------------------------------------------------------------
