@@ -84,6 +84,7 @@ def test_consistency_cli_end_to_end(kather_dirs, tmp_path):
         "--labeled_train", "0.5",
         "--validation_split", "0.25",
         "--save_dir", str(save_cr),
+        "--aug_mode", "fast",  # batch-shared strong-aug sequence path
         "--no-bf16",
     ])
     assert (save_cr / "consistency_results.csv").exists()
