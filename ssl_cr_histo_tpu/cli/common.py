@@ -73,11 +73,16 @@ def seed_everything(seed: int) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
 
-def make_optimizer(kind: str, lr_schedule, weight_decay: float = 0.0):
+def make_optimizer(kind: str, lr_schedule, weight_decay: float = 1e-4):
+    """weight_decay defaults to the reference's 1e-4 for BOTH optimizers
+    (every eval script passes --weight_decay 1e-4 into torch Adam/SGD as
+    L2-added-to-grad, e.g. eval_BreastPathQ_SSL.py:396-397,
+    eval_Camelyon_SSL.py:371); our adam/sgd_nesterov reproduce that
+    pre-update L2 semantics, not decoupled AdamW."""
     from ssl_cr_histo_tpu.train import optim
 
     if kind == "sgd":
-        return optim.sgd_nesterov(lr_schedule, momentum=0.9, weight_decay=weight_decay or 1e-4)
+        return optim.sgd_nesterov(lr_schedule, momentum=0.9, weight_decay=weight_decay)
     if kind == "adam":
         return optim.adam(lr_schedule, weight_decay=weight_decay)
     raise ValueError(f"unknown optimizer {kind}")

@@ -65,6 +65,9 @@ def parse_args(argv=None):
     p.add_argument("--num_epoch", type=int, default=90)
     p.add_argument("--batch_size", type=int, default=0)
     p.add_argument("--lr", type=float, default=0.0)
+    p.add_argument("--weight_decay", type=float, default=1e-4,
+                   help="L2 added to grads pre-update (torch semantics), "
+                        "reference default 1e-4")
     p.add_argument("--multi_step", type=int, default=8,
                    help="train steps scanned per device dispatch (lax.scan); "
                         "1 = one dispatch per step")
@@ -101,7 +104,7 @@ def main(argv=None):
         ckpt = args.eval_ckpt or args.finetune_ckpt
         if not ckpt:
             raise SystemExit("--eval_ckpt required for evaluation")
-        tmp_tx = make_optimizer(cfg.optimizer, args.lr or cfg.lr)
+        tmp_tx = make_optimizer(cfg.optimizer, args.lr or cfg.lr, args.weight_decay)
         state = init_triplet_state(
             model, head, tmp_tx, key, image_size=cfg.image_size, triplet=False
         )
@@ -137,7 +140,7 @@ def main(argv=None):
         n_labeled_batches = len(labeled) // batch_size
     n_steps = max(min(n_labeled_batches, len(train) // (batch_size * args.mu)), 1)
     sched = optim.multistep_schedule(lr, [m * n_steps for m in cfg.milestones], cfg.gamma)
-    base_tx = make_optimizer(cfg.optimizer, sched)
+    base_tx = make_optimizer(cfg.optimizer, sched, args.weight_decay)
 
     state = init_triplet_state(
         model, head, base_tx, key, image_size=cfg.image_size, triplet=False

@@ -58,6 +58,9 @@ def parse_args(argv=None):
     p.add_argument("--num_epoch", type=int, default=90)
     p.add_argument("--batch_size", type=int, default=0, help="0 = task default")
     p.add_argument("--lr", type=float, default=0.0, help="0 = task default")
+    p.add_argument("--weight_decay", type=float, default=1e-4,
+                   help="L2 added to grads pre-update (torch semantics), "
+                        "reference default 1e-4")
     p.add_argument("--multi_step", type=int, default=8,
                    help="train steps scanned per device dispatch (lax.scan); "
                         "1 = one dispatch per step")
@@ -90,7 +93,7 @@ def build_state(args, cfg, key):
     model = TripletNet(args.model, dtype=model_dtype(args), remat=args.remat)
     head = FinetuneHead(num_classes=cfg.num_classes)
     lr = args.lr or cfg.lr
-    base_tx = make_optimizer(cfg.optimizer, lr)
+    base_tx = make_optimizer(cfg.optimizer, lr, args.weight_decay)
     tmp = init_triplet_state(model, head, base_tx, key, image_size=cfg.image_size, triplet=False)
     return model, head, tmp
 
@@ -129,7 +132,7 @@ def main(argv=None):
     sched = optim.multistep_schedule(
         lr, [m * n_steps_per_epoch for m in cfg.milestones], cfg.gamma
     )
-    base_tx = make_optimizer(cfg.optimizer, sched)
+    base_tx = make_optimizer(cfg.optimizer, sched, args.weight_decay)
     tx = masked_optimizer(base_tx, state.params, args.modules, args.model)
     state = state.replace(opt_state=tx.init(state.params))
 
