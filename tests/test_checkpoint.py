@@ -187,3 +187,50 @@ def test_export_import_roundtrip(torch_ckpt, tmp_path):
         jax.tree_util.tree_leaves(stats), jax.tree_util.tree_leaves(stats2)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_convert_checkpoint_cli_round_trip(tmp_path):
+    """Native -> torch export CLI: the emitted .pt re-imports through the
+    torch loader with identical backbone and head tensors."""
+    import jax
+    import torch
+
+    from ssl_cr_histo_tpu.cli import convert_checkpoint
+    from ssl_cr_histo_tpu.models import FinetuneHead, TripletNet
+    from ssl_cr_histo_tpu.train import optim
+    from ssl_cr_histo_tpu.train.checkpoint import (
+        load_torch_triplet_checkpoint,
+        save_checkpoint,
+    )
+    from ssl_cr_histo_tpu.train.init import init_triplet_state
+
+    model = TripletNet("resnet18")
+    head = FinetuneHead(num_classes=2)
+    state = init_triplet_state(
+        model, head, optim.adam(1e-4), jax.random.PRNGKey(3),
+        image_size=32, triplet=False,
+    )
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), state, {"epoch": 7})
+    out = tmp_path / "model.pt"
+    convert_checkpoint.main(["--input", str(ckpt), "--output", str(out)])
+
+    raw = torch.load(out, map_location="cpu", weights_only=False)
+    assert raw["epoch"] == 7
+    assert "0.weight" in raw["classifier"]
+    params, stats = load_torch_triplet_checkpoint(str(out))
+    np.testing.assert_allclose(
+        np.asarray(params["backbone"]["conv1"]["kernel"]),
+        np.asarray(state.params["model"]["backbone"]["conv1"]["kernel"]),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["fc"]["fc1"]["kernel"]),
+        np.asarray(state.params["model"]["fc"]["fc1"]["kernel"]),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw["classifier"]["0.weight"]),
+        np.asarray(state.params["head"]["fc"]["kernel"]).T,
+        rtol=1e-6,
+    )
