@@ -352,3 +352,108 @@ def test_consistency_cli_resume(kather_dirs, tmp_path):
     lines = (cr / "consistency_results.csv").read_text().strip().splitlines()
     assert [ln.split(",")[0] for ln in lines[1:]] == ["1", "2"]
     assert (cr / "teacher_ckpt_2" / "checkpoint.msgpack").exists()
+
+
+def test_finetune_cli_breastpathq_regression(tmp_path):
+    """BPQ task end-to-end: h5 loading, MSE head, and the two-rater
+    ICC/Bland-Altman evaluation path."""
+    import h5py
+
+    from ssl_cr_histo_tpu.cli import finetune
+
+    rng = np.random.default_rng(0)
+    train_dir = tmp_path / "train"
+    rater_a = tmp_path / "rater_a"
+    rater_b = tmp_path / "rater_b"
+    for d in (train_dir, rater_a, rater_b):
+        os.makedirs(d)
+    with h5py.File(train_dir / "train_0.h5", "w") as f:
+        f["x"] = rng.random((16, 3, 32, 32)).astype(np.float32)
+        f["y"] = np.linspace(0, 1, 16).astype(np.float32)
+    for d, off in ((rater_a, 0.0), (rater_b, 0.05)):
+        with h5py.File(d / "test_0.h5", "w") as f:
+            f["x"] = rng.random((6, 3, 32, 32)).astype(np.float32)
+            f["y"] = np.clip(np.linspace(0, 1, 6) + off, 0, 1).astype(np.float32)
+
+    save = tmp_path / "run"
+    finetune.main([
+        "--task", "breastpathq",
+        "--train_path", str(train_dir) + "/",
+        "--num_epoch", "1",
+        "--batch_size", "4",
+        "--validation_split", "0.25",
+        "--image_size", "32",
+        "--save_dir", str(save),
+        "--no-bf16",
+    ])
+    finetune.main([
+        "--task", "breastpathq",
+        "--mode", "evaluation",
+        "--test_path", str(rater_a) + "/",
+        "--test_path_b", str(rater_b) + "/",
+        "--finetune_ckpt", str(save / "final"),
+        "--image_size", "32",
+        "--save_dir", str(save),
+        "--no-bf16",
+    ])
+    report = json.loads((save / "breastpathq_eval.json").read_text())
+    for k in ("icc_MA", "icc_MB", "icc_AB", "tau_MA", "mse_MA"):
+        assert k in report
+    assert (save / "BDPlot_Eval_2way_AB_plot.png").exists()
+
+
+def test_finetune_cli_camelyon16_balanced(tmp_path):
+    """Camelyon16 task end-to-end: list.txt patch loading, polygon labels,
+    the balanced tumor/normal iterator, and binary AUC evaluation."""
+    from ssl_cr_histo_tpu.cli import finetune
+
+    data = tmp_path / "patches"
+    jsons = tmp_path / "jsons"
+    os.makedirs(data)
+    os.makedirs(jsons)
+    rng = np.random.default_rng(0)
+    lines = []
+    # finetune split requires Tumor_>25 / Normal_>35; half inside polygon
+    for i in range(16):
+        pid = "Tumor_026" if i % 2 == 0 else "Normal_040"
+        x = 50 if (i % 2 == 0 and i % 4 == 0) or i % 2 == 0 else 500
+        lines.append((pid, x, x))
+    with open(data / "list.txt", "w") as f:
+        for i, (pid, x, y) in enumerate(lines):
+            f.write(f"{pid},{x},{y}\n")
+            base = 200 if pid.startswith("Tumor") else 60
+            img = np.full((32, 32, 3), base, np.uint8)
+            img += rng.integers(0, 30, img.shape, dtype=np.uint8)
+            cv2.imwrite(str(data / f"{i}.png"), img)
+    tumor_doc = {
+        "positive": [{"name": "t", "vertices": [[0, 0], [100, 0], [100, 100], [0, 100]]}],
+        "negative": [],
+    }
+    (jsons / "Tumor_026.json").write_text(json.dumps(tumor_doc))
+    (jsons / "Normal_040.json").write_text(json.dumps({"positive": [], "negative": []}))
+
+    save = tmp_path / "run"
+    finetune.main([
+        "--task", "camelyon16",
+        "--train_path", str(data),
+        "--json_path", str(jsons),
+        "--num_epoch", "1",
+        "--batch_size", "4",
+        "--validation_split", "0.25",
+        "--image_size", "32",
+        "--save_dir", str(save),
+        "--no-bf16",
+    ])
+    assert (save / "final" / "checkpoint.msgpack").exists()
+    finetune.main([
+        "--task", "camelyon16",
+        "--mode", "evaluation",
+        "--test_path", str(data),
+        "--json_path", str(jsons),
+        "--finetune_ckpt", str(save / "final"),
+        "--image_size", "32",
+        "--save_dir", str(save),
+        "--no-bf16",
+    ])
+    report = json.loads((save / "camelyon16_eval.json").read_text())
+    assert "auc" in report and len(report["confusion"]) == 2
