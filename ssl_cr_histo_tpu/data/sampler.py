@@ -101,7 +101,13 @@ class RSPTripletSampler:
             if pixel_scale < 1:
                 return TripletIndex(slide_path, np.zeros((0, 2), np.int64))
 
-        thumb_level = max(reader.level_count - self.lwst_level_idx, 0)
+        # clamp to a valid level: the reference indexes level_count - idx
+        # directly and crashes on idx outside [1, level_count]
+        # (dataset.py:400); we clamp both ends instead
+        thumb_level = min(
+            max(reader.level_count - self.lwst_level_idx, 0),
+            reader.level_count - 1,
+        )
         mu = slide_lab_mu(reader, thumb_level) if self.geometry == "v1" else 0.0
         iw, ih = reader.level_dimensions[self.lr2]
         t, s = self.tile, self.stride

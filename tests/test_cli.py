@@ -457,3 +457,88 @@ def test_finetune_cli_camelyon16_balanced(tmp_path):
     ])
     report = json.loads((save / "camelyon16_eval.json").read_text())
     assert "auc" in report and len(report["confusion"]) == 2
+
+
+def test_pretrain_cli_v1_variant(tmp_path):
+    """v1 pretraining CLI path: concentric geometry, LAB foreground,
+    Lookahead epoch sync — distinct wiring from the v2 test above."""
+    from ssl_cr_histo_tpu.cli import pretrain
+
+    # v1's LAB foreground test is RELATIVE to the slide-mean a-channel, so
+    # the fixture needs white background pulling the mean down + strongly
+    # pink tissue (synthetic_wsi is too uniformly pink for it)
+    rng = np.random.default_rng(0)
+    wsi_dir = tmp_path / "wsis"
+    os.makedirs(wsi_dir)
+    for i in range(2):
+        level0 = np.full((768, 768, 3), 245, np.uint8)
+        tissue = np.stack(
+            [np.full((448, 448), c) for c in (190, 80, 160)], axis=-1
+        )
+        level0[64:512, 64:512] = np.clip(
+            tissue + rng.integers(-20, 20, tissue.shape), 0, 255
+        ).astype(np.uint8)
+        np.save(wsi_dir / f"slide{i}.npy", level0)
+
+    save = tmp_path / "run"
+    pretrain.main([
+        "--train_image_pth", str(wsi_dir),
+        "--variant", "v1",
+        "--tile_h", "64", "--tile_w", "64",
+        "--tile_stride", "64",
+        "--lwst_level_idx", "1",
+        "--batch_size", "4",
+        "--num_epoch", "1",
+        "--validation_size", "4",
+        "--save_freq", "1",
+        "--steps_per_epoch", "2",
+        "--save_dir", str(save),
+        "--no-bf16",
+    ])
+    assert (save / "train_results.csv").exists()
+    assert (save / "ckpt_1" / "checkpoint.msgpack").exists()
+
+
+def test_consistency_cli_breastpathq_regression(tmp_path):
+    """BPQ CR: MSE consistency (teacher/student regression), h5 data."""
+    import h5py
+
+    from ssl_cr_histo_tpu.cli import consistency, finetune
+
+    rng = np.random.default_rng(0)
+    train_dir = tmp_path / "train"
+    os.makedirs(train_dir)
+    with h5py.File(train_dir / "train_0.h5", "w") as f:
+        f["x"] = rng.random((24, 3, 32, 32)).astype(np.float32)
+        f["y"] = np.linspace(0, 1, 24).astype(np.float32)
+
+    ft = tmp_path / "ft"
+    finetune.main([
+        "--task", "breastpathq",
+        "--train_path", str(train_dir) + "/",
+        "--num_epoch", "1",
+        "--batch_size", "4",
+        "--validation_split", "0.25",
+        "--image_size", "32",
+        "--save_dir", str(ft),
+        "--no-bf16",
+    ])
+    cr = tmp_path / "cr"
+    consistency.main([
+        "--task", "breastpathq",
+        "--train_path", str(train_dir) + "/",
+        "--finetune_ckpt", str(ft / "final"),
+        "--num_epoch", "1",
+        "--batch_size", "4",
+        "--mu", "2",
+        "--NAug", "2",
+        "--labeled_train", "0.5",
+        "--validation_split", "0.25",
+        "--image_size", "32",
+        "--save_dir", str(cr),
+        "--no-bf16",
+    ])
+    lines = (cr / "consistency_results.csv").read_text().strip().splitlines()
+    assert len(lines) == 2  # header + 1 epoch; losses finite
+    vals = [float(v) for v in lines[1].split(",")[1:]]
+    assert all(np.isfinite(vals))
