@@ -183,8 +183,11 @@ def main(argv=None):
         # teacher: per-epoch refresh mode re-derives it from the student at
         # the epoch boundary (teacher == student there by construction);
         # EMA mode restores its own persisted copy.
-        teacher_path = resume_path.replace("ckpt_", "teacher_ckpt_")
-        if args.ema > 0 and os.path.isdir(teacher_path):
+        rdir, rbase = os.path.split(os.path.normpath(resume_path))
+        teacher_path = (
+            os.path.join(rdir, f"teacher_{rbase}") if rbase.startswith("ckpt_") else ""
+        )
+        if args.ema > 0 and teacher_path and os.path.isdir(teacher_path):
             tstate, _ = restore_checkpoint(teacher_path, state, restore_opt=False)
             teacher_params, teacher_stats = tstate.params, tstate.batch_stats
         else:

@@ -103,10 +103,6 @@ def prefetch_to_device(
     per-slide readers) shared with the next epoch's thread.
     """
 
-    q: "queue.Queue" = queue.Queue(maxsize=size)
-    _END = object()
-    stop = threading.Event()
-
     def put_leaf(x, sh):
         if sh is None:
             return jax.device_put(x)
@@ -126,41 +122,7 @@ def prefetch_to_device(
         # element of a (tiles, valid) chunk tuple)
         return jax.tree_util.tree_map(put_leaf, item, sharding)
 
-    errors = []
-
-    def q_put(obj) -> bool:
-        """Blocking put that aborts when the consumer went away."""
-        while not stop.is_set():
-            try:
-                q.put(obj, timeout=0.1)
-                return True
-            except queue.Full:
-                continue
-        return False
-
-    def worker():
-        try:
-            for item in it:
-                if not q_put(put(item)):
-                    return
-        except BaseException as e:  # surface loader errors to the consumer
-            errors.append(e)
-        finally:
-            q_put(_END)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            yield item
-    finally:
-        stop.set()
-        t.join(timeout=10.0)
-    if errors:
-        raise errors[0]
+    yield from prefetch_iter(it, size=size, map_fn=put)
 
 
 def prefetch_iter(it: Iterable, size: int = 2, map_fn=None) -> Iterator:

@@ -35,6 +35,11 @@ from scipy import ndimage
 
 FP_RATES = (0.25, 0.5, 1.0, 2.0, 4.0, 8.0)
 
+# 8-connectivity: the official challenge tooling labels lesions and
+# candidates with skimage measure.label's 2D default (8-connected);
+# scipy's default structure is the 4-connected cross.
+_EIGHT = np.ones((3, 3), dtype=bool)
+
 
 def detect_candidates(
     probs_map: np.ndarray, threshold: float = 0.5
@@ -42,7 +47,7 @@ def detect_candidates(
     """Candidate detections from a probability map: one per connected
     component of ``probs_map >= threshold``, located at the component's
     max-probability pixel.  Returns (probs (N,), coords (N, 2) int)."""
-    labeled, n = ndimage.label(probs_map >= threshold)
+    labeled, n = ndimage.label(probs_map >= threshold, structure=_EIGHT)
     if n == 0:
         return np.zeros(0, np.float32), np.zeros((0, 2), np.int64)
     pos = ndimage.maximum_position(probs_map, labeled, np.arange(1, n + 1))
@@ -55,7 +60,9 @@ def _major_axis_px(ys: np.ndarray, xs: np.ndarray) -> float:
     if len(ys) < 2:
         return 0.0
     pts = np.stack([ys, xs], axis=1).astype(np.float64)
-    cov = np.cov(pts.T)
+    # population (1/N) covariance: skimage's major_axis_length derives from
+    # normalized second central moments, not the N-1 sample estimator
+    cov = np.cov(pts.T, bias=True)
     eig = np.linalg.eigvalsh(np.atleast_2d(cov))
     return float(4.0 * np.sqrt(max(float(eig[-1]), 0.0)))
 
@@ -65,7 +72,7 @@ def lesion_labels(
 ) -> Tuple[np.ndarray, int, set]:
     """Label GT lesions and flag ITCs.  Returns (labeled map, n_labels,
     itc label set); ``itc_diameter_px`` <= 0 disables ITC exclusion."""
-    labeled, n = ndimage.label(gt_mask > 0)
+    labeled, n = ndimage.label(gt_mask > 0, structure=_EIGHT)
     itc = set()
     if itc_diameter_px > 0 and n:
         for lbl, sl in enumerate(ndimage.find_objects(labeled), start=1):
@@ -164,4 +171,8 @@ def rasterize_annotation(
     xs, ys = np.meshgrid(np.arange(shape[0]), np.arange(shape[1]), indexing="ij")
     coords = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(np.float64) * resolution
     inside = ann.inside_polygons_many(coords, is_positive=True)
+    # exclusion holes: ASAP group '_2' maps to the JSON 'negative' set
+    # (annotations.py camelyon16xml2json) — those regions are NOT tumor
+    if ann.polygons_negative:
+        inside &= ~ann.inside_polygons_many(coords, is_positive=False)
     return inside.reshape(shape).astype(np.uint8)

@@ -48,6 +48,17 @@ def mesh_for_batch(batch_size: int, devices: Sequence[jax.Device] | None = None,
     n = max(len(devices) // model_parallel, 1)
     g = math.gcd(batch_size, n)
     if g * model_parallel < len(devices):
+        if jax.process_count() > 1:
+            # Shrinking to a prefix of the global device list would drop
+            # whole hosts' devices from the mesh — on a multi-controller
+            # pod every process must participate, so this cannot work;
+            # require a divisible global batch instead of hanging later.
+            raise ValueError(
+                f"batch_size={batch_size} is not divisible by the {n}-device "
+                f"data axis on a {jax.process_count()}-process pod; choose a "
+                f"global batch divisible by the device count (or pad with "
+                f"data.pipeline.pad_batches)"
+            )
         warnings.warn(
             f"batch_size={batch_size} is not divisible by the {n}-device data "
             f"axis; using {g} device(s) and leaving the rest idle — prefer a "

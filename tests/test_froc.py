@@ -134,3 +134,42 @@ def test_froc_cli_end_to_end(tmp_path, capsys):
     assert report["slides"] == ["normal_001", "tumor_001"]
     text = capsys.readouterr().out
     assert "FROC score: 1.0000" in text
+
+
+def test_eight_connectivity():
+    """Diagonally-touching pixels are ONE component (official tooling uses
+    8-connectivity; scipy's default 4-connected cross would split them)."""
+    pm = np.zeros((8, 8), np.float32)
+    pm[2, 2] = 0.9
+    pm[3, 3] = 0.8  # diagonal neighbor
+    probs, coords = detect_candidates(pm, threshold=0.5)
+    assert len(probs) == 1 and probs[0] == pytest.approx(0.9)
+    gt = np.zeros((8, 8), np.uint8)
+    gt[2, 2] = gt[3, 3] = 1
+    _, n, _ = lesion_labels(gt)
+    assert n == 1
+
+
+def test_major_axis_population_normalization():
+    """2x2 block: population-covariance major axis is exactly 2.0 px
+    (skimage regionprops convention), not the N-1 estimator's 2.31."""
+    from ssl_cr_histo_tpu.eval.froc import _major_axis_px
+
+    ys, xs = np.array([0, 0, 1, 1]), np.array([0, 1, 0, 1])
+    assert _major_axis_px(ys, xs) == pytest.approx(2.0)
+
+
+def test_rasterize_annotation_exclusion_hole(tmp_path):
+    """Negative ('_2' exclusion) polygons punch holes in the rasterized GT."""
+    from ssl_cr_histo_tpu.data.annotations import vertices2json
+
+    jp = str(tmp_path / "slide.json")
+    vertices2json(
+        jp,
+        positive_vertices=[[[2, 2], [2, 26], [26, 26], [26, 2]]],
+        negative_vertices=[[[10, 10], [10, 22], [22, 22], [22, 10]]],
+    )
+    mask = rasterize_annotation(jp, (8, 8), resolution=4)
+    assert mask[1, 1] == 1        # inside tumor, outside hole
+    assert mask[4, 4] == 0        # grid point (16,16): inside the hole
+    assert mask[7, 7] == 0        # grid point (28,28): outside the tumor
