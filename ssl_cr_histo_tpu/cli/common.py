@@ -137,3 +137,38 @@ def device_mesh(model_parallel: int = 1):
     from ssl_cr_histo_tpu.parallel import make_mesh
 
     return make_mesh(model_parallel=model_parallel)
+
+
+def balanced_epoch_len(labels, batch_size: int) -> int:
+    """Steps per epoch of the balanced binary iterator: the smaller class's
+    half-batch count (data.pipeline.balanced_batch_iterator) — the epoch
+    length LR milestones must be computed from for Camelyon16."""
+    import numpy as np
+
+    counts = np.bincount(np.asarray(labels, dtype=np.int64))
+    return max(int(counts.min()) // max(batch_size // 2, 1), 1)
+
+
+def resume_training(args, state, best, key):
+    """Shared --resume handling for the stage CLIs: resolve 'auto', restore
+    the state/epoch/best-val, and advance the per-epoch key chain so
+    augmentation randomness continues where the interrupted run left off.
+
+    Returns (state, start_epoch, key, resume_path); resume_path is "" when
+    not resuming (reference eval_Kather_SSL.py:427-442).
+    """
+    from ssl_cr_histo_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+
+    start_epoch = 1
+    resume_path = args.resume
+    if resume_path == "auto":
+        resume_path = latest_checkpoint(args.save_dir) or ""
+    if resume_path:
+        state, rmeta = restore_checkpoint(resume_path, state)
+        start_epoch = int(rmeta.get("epoch", 0)) + 1
+        if rmeta.get("best_val") is not None:
+            best.best = float(rmeta["best_val"])
+        for _ in range(start_epoch - 1):
+            key, _ = jax.random.split(key)
+        print(f"==> resumed from {resume_path} (epoch {start_epoch - 1})")
+    return state, start_epoch, key, resume_path

@@ -20,8 +20,10 @@ from ssl_cr_histo_tpu.cli.common import (
     TASKS,
     add_common_args,
     apply_task_overrides,
+    balanced_epoch_len,
     make_optimizer,
     model_dtype,
+    resume_training,
     seed_everything,
 )
 from ssl_cr_histo_tpu.cli.finetune import validate
@@ -134,8 +136,7 @@ def main(argv=None):
     # eval_Kather_SSL_CR.py:50 + per-epoch scheduler.step()); Camelyon16's
     # labeled iterator is the balanced one (epoch = min-class count // half).
     if cfg.name == "camelyon16":
-        counts = np.bincount(np.asarray(labeled.labels, dtype=np.int64))
-        n_labeled_batches = int(counts.min()) // max(batch_size // 2, 1)
+        n_labeled_batches = balanced_epoch_len(labeled.labels, batch_size)
     else:
         n_labeled_batches = len(labeled) // batch_size
     n_steps = max(min(n_labeled_batches, len(train) // (batch_size * args.mu)), 1)
@@ -169,17 +170,8 @@ def main(argv=None):
     )
     best = BestTracker(args.save_dir, mode="min")
 
-    start_epoch = 1
-    resume_path = args.resume
-    if resume_path == "auto":
-        from ssl_cr_histo_tpu.train.checkpoint import latest_checkpoint
-
-        resume_path = latest_checkpoint(args.save_dir) or ""
+    state, start_epoch, key, resume_path = resume_training(args, state, best, key)
     if resume_path:
-        state, rmeta = restore_checkpoint(resume_path, state)
-        start_epoch = int(rmeta.get("epoch", 0)) + 1
-        if rmeta.get("best_val") is not None:
-            best.best = float(rmeta["best_val"])
         # teacher: per-epoch refresh mode re-derives it from the student at
         # the epoch boundary (teacher == student there by construction);
         # EMA mode restores its own persisted copy.
@@ -192,9 +184,6 @@ def main(argv=None):
             teacher_params, teacher_stats = tstate.params, tstate.batch_stats
         else:
             teacher_params, teacher_stats = S.refresh_teacher(state)
-        for _ in range(start_epoch - 1):
-            key, _ = jax.random.split(key)
-        print(f"==> resumed from {resume_path} (epoch {start_epoch - 1})")
 
     for epoch in range(start_epoch, args.num_epoch + 1):
         t0 = time.time()

@@ -16,8 +16,10 @@ from ssl_cr_histo_tpu.cli.common import (
     TASKS,
     add_common_args,
     apply_task_overrides,
+    balanced_epoch_len,
     make_optimizer,
     model_dtype,
+    resume_training,
     seed_everything,
 )
 from ssl_cr_histo_tpu.data import datasets as D
@@ -124,8 +126,7 @@ def main(argv=None):
     # batches per epoch, not len(train) // batch (the reference decays per
     # epoch at 30/60 — eval_Camelyon_SSL.py MultiStepLR).
     if cfg.name == "camelyon16":
-        counts = np.bincount(np.asarray(train.labels, dtype=np.int64))
-        n_steps_per_epoch = max(int(counts.min()) // max(batch_size // 2, 1), 1)
+        n_steps_per_epoch = balanced_epoch_len(train.labels, batch_size)
     else:
         n_steps_per_epoch = max(len(train) // batch_size, 1)
     lr = args.lr or cfg.lr
@@ -164,22 +165,7 @@ def main(argv=None):
     )
     best = BestTracker(args.save_dir, mode="min")
 
-    start_epoch = 1
-    resume_path = args.resume
-    if resume_path == "auto":
-        from ssl_cr_histo_tpu.train.checkpoint import latest_checkpoint
-
-        resume_path = latest_checkpoint(args.save_dir) or ""
-    if resume_path:
-        state, rmeta = restore_checkpoint(resume_path, state)
-        start_epoch = int(rmeta.get("epoch", 0)) + 1
-        if rmeta.get("best_val") is not None:
-            best.best = float(rmeta["best_val"])
-        # advance the epoch key chain so augmentation randomness continues
-        # where the interrupted run left off
-        for _ in range(start_epoch - 1):
-            key, _ = jax.random.split(key)
-        print(f"==> resumed from {resume_path} (epoch {start_epoch - 1})")
+    state, start_epoch, key, _ = resume_training(args, state, best, key)
 
     for epoch in range(start_epoch, args.num_epoch + 1):
         t0 = time.time()
