@@ -172,3 +172,16 @@ def resume_training(args, state, best, key):
             key, _ = jax.random.split(key)
         print(f"==> resumed from {resume_path} (epoch {start_epoch - 1})")
     return state, start_epoch, key, resume_path
+
+
+def chunked_feed(it, mesh, k: int, n_arrays: int = 1):
+    """Multi-step feed shared by the stage CLIs: stack K batches per chunk
+    (``data.pipeline.chunk_batches``) and prefetch them to the mesh with
+    chunk sharding on each of the ``n_arrays`` batch arrays and the (K,)
+    validity mask replicated.  Yields (chunk, valid)."""
+    from ssl_cr_histo_tpu.data.pipeline import chunk_batches, prefetch_to_device
+    from ssl_cr_histo_tpu.parallel import chunk_sharding, replicated_sharding
+
+    csh, rsh = chunk_sharding(mesh), replicated_sharding(mesh)
+    data_sh = csh if n_arrays == 1 else tuple([csh] * n_arrays)
+    return prefetch_to_device(chunk_batches(it, k), sharding=(data_sh, rsh))

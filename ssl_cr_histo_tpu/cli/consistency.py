@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssl_cr_histo_tpu.cli.common import (
+    chunked_feed,
     TASKS,
     add_common_args,
     apply_task_overrides,
@@ -207,15 +208,8 @@ def main(argv=None):
         # epoch length = min(len(labeled), len(unlabeled)) batches
         # (reference zip(), eval_Kather_SSL_CR.py:50)
         if args.multi_step > 1:
-            from ssl_cr_histo_tpu.data.pipeline import chunk_batches
-            from ssl_cr_histo_tpu.parallel import chunk_sharding, replicated_sharding
-
-            csh, rsh = chunk_sharding(mesh), replicated_sharding(mesh)
             pair_it = ((xl, yl, xu) for (xl, yl), (xu,) in zip(lab_it, unlab_it))
-            feed = prefetch_to_device(
-                chunk_batches(pair_it, args.multi_step),
-                sharding=((csh, csh, csh), rsh),
-            )
+            feed = chunked_feed(pair_it, mesh, args.multi_step, n_arrays=3)
             for (xl_k, yl_k, xu_k), valid in feed:
                 ek, sk = jax.random.split(ek)
                 # the teacher rides the scan carry (per-step EMA inside when

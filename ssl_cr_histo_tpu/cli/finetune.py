@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssl_cr_histo_tpu.cli.common import (
+    chunked_feed,
     TASKS,
     add_common_args,
     apply_task_overrides,
@@ -182,13 +183,7 @@ def main(argv=None):
         else:
             it = train.batches(batch_size, seed=args.seed + epoch)
         if args.multi_step > 1:
-            from ssl_cr_histo_tpu.data.pipeline import chunk_batches
-            from ssl_cr_histo_tpu.parallel import chunk_sharding, replicated_sharding
-
-            csh, rsh = chunk_sharding(mesh), replicated_sharding(mesh)
-            feed = prefetch_to_device(
-                chunk_batches(it, args.multi_step), sharding=((csh, csh), rsh)
-            )
+            feed = chunked_feed(it, mesh, args.multi_step, n_arrays=2)
             for (imgs_k, labs_k), valid in feed:
                 ek, sk = jax.random.split(ek)
                 state, ms = step(state, imgs_k, labs_k, sk, valid)

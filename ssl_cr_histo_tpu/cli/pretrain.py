@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssl_cr_histo_tpu.cli.common import add_common_args, model_dtype, seed_everything
+from ssl_cr_histo_tpu.cli.common import (
+    add_common_args,
+    chunked_feed,
+    model_dtype,
+    seed_everything,
+)
 from ssl_cr_histo_tpu.data.pipeline import pad_batches, prefetch_to_device
 from ssl_cr_histo_tpu.data.sampler import RSPTripletSampler
 from ssl_cr_histo_tpu.eval.metrics import AverageMeter
@@ -183,13 +188,7 @@ def main(argv=None):
             batches = itertools.islice(batches, args.steps_per_epoch)
         key, ek = jax.random.split(key)
         if args.multi_step > 1:
-            from ssl_cr_histo_tpu.data.pipeline import chunk_batches
-            from ssl_cr_histo_tpu.parallel import chunk_sharding, replicated_sharding
-
-            chunks = chunk_batches(batches, args.multi_step)
-            feed = prefetch_to_device(
-                chunks, sharding=(chunk_sharding(mesh), replicated_sharding(mesh))
-            )
+            feed = chunked_feed(batches, mesh, args.multi_step)
             bi = 0
             for tiles_k, valid in feed:
                 ek, sk = jax.random.split(ek)
