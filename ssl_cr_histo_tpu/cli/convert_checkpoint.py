@@ -9,11 +9,15 @@ weights with the reference's own PyTorch tooling:
         --input runs/best --output model.pt
 
 Writes a ``torch.save`` dict with the reference's layout: ``model`` (the
-torchvision-named TripletNet state_dict, ``model.*`` backbone + ``fc.*``
-pairwise head — reference models/net.py:25-66) and ``classifier`` (the
-head as a torch ``nn.Sequential`` state_dict: ``0.*`` for FinetuneResNet's
-single Linear, ``0.*``/``2.*`` for the pretrain Classifier MLP), plus the
-checkpoint's meta (epoch etc., reference pretrain_BreastPathQ.py:296-320).
+torchvision-named TripletNet state_dict, ``model.*`` backbone — incl. BN
+``num_batches_tracked`` — + ``fc.*`` pairwise head, reference
+models/net.py:25-66) and ``classifier`` (``classifier.0.*`` for
+FinetuneResNet's single Linear, ``classifier.{0,2}.*`` for the pretrain
+Classifier MLP — both wrap their Sequential in ``self.classifier``,
+net.py:12-15/:111), plus the checkpoint's meta (epoch etc., reference
+pretrain_BreastPathQ.py:296-320).  Strict ``load_state_dict`` into the
+reference modules succeeds (tested against reference-shaped torch modules
+in tests/test_checkpoint.py).
 """
 
 from __future__ import annotations
@@ -27,7 +31,11 @@ import numpy as np
 
 
 def head_torch_state_dict(head_params: dict) -> dict:
-    """Flax head params -> torch Sequential state_dict names."""
+    """Flax head params -> torch state_dict names.
+
+    The reference's Classifier / FinetuneResNet wrap their Sequential in a
+    ``self.classifier`` attribute (reference models/net.py:12-15, :111), so
+    ``classifier.load_state_dict`` expects ``classifier.{0,2}.*`` keys."""
     if "fc" in head_params:  # FinetuneHead: single Linear
         layers = [("fc", 0)]
     elif "fc1" in head_params:  # Classifier: Linear -> ReLU -> Linear
@@ -36,8 +44,8 @@ def head_torch_state_dict(head_params: dict) -> dict:
         raise KeyError(f"unrecognized head params: {sorted(head_params)}")
     sd = {}
     for name, idx in layers:
-        sd[f"{idx}.weight"] = np.asarray(head_params[name]["kernel"]).T
-        sd[f"{idx}.bias"] = np.asarray(head_params[name]["bias"])
+        sd[f"classifier.{idx}.weight"] = np.asarray(head_params[name]["kernel"]).T
+        sd[f"classifier.{idx}.bias"] = np.asarray(head_params[name]["bias"])
     return sd
 
 
@@ -60,14 +68,18 @@ def main(argv=None):
             meta = json.load(f)
 
     model_sd = export_torch_state_dict(sd["params"]["model"], sd["batch_stats"])
+    # np.array(copy) keeps 0-d arrays 0-d (BN num_batches_tracked must stay
+    # scalar) and detaches from read-only msgpack views torch can't own
+    def t(v):
+        return torch.as_tensor(np.array(v))
+
     out = {
-        "model": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in model_sd.items()},
+        "model": {k: t(v) for k, v in model_sd.items()},
         "epoch": meta.get("epoch", 0),
     }
     if "head" in sd["params"]:
         out["classifier"] = {
-            k: torch.from_numpy(np.ascontiguousarray(v))
-            for k, v in head_torch_state_dict(sd["params"]["head"]).items()
+            k: t(v) for k, v in head_torch_state_dict(sd["params"]["head"]).items()
         }
     torch.save(out, args.output)
     n = len(out["model"]) + len(out.get("classifier", {}))

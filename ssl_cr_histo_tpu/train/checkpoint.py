@@ -246,7 +246,8 @@ def export_torch_state_dict(model_params: dict, batch_stats: dict) -> Dict[str, 
                 name.append(p)
         leaf = parts[-1]
         leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias",
-                    "mean": "running_mean", "var": "running_var"}
+                    "mean": "running_mean", "var": "running_var",
+                    "num_batches_tracked": "num_batches_tracked"}
         return "model." + ".".join(name) + "." + leaf_map[leaf]
 
     for path, v in leaves_store.items():
@@ -257,6 +258,12 @@ def export_torch_state_dict(model_params: dict, batch_stats: dict) -> Dict[str, 
         sd[torch_name(path)] = v
     for path, v in stats_leaves.items():
         sd[torch_name(path)] = v
+        if path[-1] == "mean":
+            # torch BatchNorm state_dicts carry a long `num_batches_tracked`
+            # per BN module; strict load_state_dict into the reference models
+            # (eval_BreastPathQ_SSL.py:376) fails without it.  Flax tracks no
+            # equivalent, so emit the fresh-module value (0).
+            sd[torch_name(path[:-1] + ("num_batches_tracked",))] = np.zeros((), np.int64)
 
     fc = model_params.get("fc", {})
     for flax_name, idx in (("fc1", 0), ("fc2", 2)):

@@ -217,7 +217,7 @@ def test_convert_checkpoint_cli_round_trip(tmp_path):
 
     raw = torch.load(out, map_location="cpu", weights_only=False)
     assert raw["epoch"] == 7
-    assert "0.weight" in raw["classifier"]
+    assert "classifier.0.weight" in raw["classifier"]
     params, stats = load_torch_triplet_checkpoint(str(out))
     np.testing.assert_allclose(
         np.asarray(params["backbone"]["conv1"]["kernel"]),
@@ -230,7 +230,49 @@ def test_convert_checkpoint_cli_round_trip(tmp_path):
         rtol=1e-6,
     )
     np.testing.assert_allclose(
-        np.asarray(raw["classifier"]["0.weight"]),
+        np.asarray(raw["classifier"]["classifier.0.weight"]),
         np.asarray(state.params["head"]["fc"]["kernel"]).T,
         rtol=1e-6,
     )
+
+
+def test_convert_checkpoint_strict_loads_into_reference_modules(tmp_path):
+    """The exported .pt must load into the reference's OWN module shapes with
+    strict=True — the CLI's stated purpose (reference eval_BreastPathQ_SSL.py:376
+    does model.load_state_dict(state['model'])).  The torch modules here
+    replicate the reference's state_dict key sets exactly: TripletNet
+    (models/net.py:25-66, torchvision backbone under `model` with BN
+    num_batches_tracked + `fc` Sequential) and FinetuneResNet (net.py:106-114,
+    Sequential wrapped in `self.classifier`)."""
+    import jax
+
+    from ssl_cr_histo_tpu.cli import convert_checkpoint
+    from ssl_cr_histo_tpu.models import FinetuneHead, TripletNet
+    from ssl_cr_histo_tpu.train import optim
+    from ssl_cr_histo_tpu.train.checkpoint import save_checkpoint
+    from ssl_cr_histo_tpu.train.init import init_triplet_state
+
+    model = TripletNet("resnet18")
+    head = FinetuneHead(num_classes=2)
+    state = init_triplet_state(
+        model, head, optim.adam(1e-4), jax.random.PRNGKey(4),
+        image_size=32, triplet=False,
+    )
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), state, {"epoch": 1})
+    out = tmp_path / "model.pt"
+    convert_checkpoint.main(["--input", str(ckpt), "--output", str(out)])
+    raw = torch.load(out, map_location="cpu", weights_only=False)
+
+    trip = TorchTripletNet()
+    trip.load_state_dict(raw["model"], strict=True)
+
+    class TorchFinetuneResNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.classifier = tnn.Sequential(tnn.Linear(256 * 3, 2))
+
+    TorchFinetuneResNet().load_state_dict(raw["classifier"], strict=True)
+    # num_batches_tracked entries must be torch.long scalars
+    nbt = raw["model"]["model.bn1.num_batches_tracked"]
+    assert nbt.dtype == torch.int64 and nbt.ndim == 0
