@@ -27,15 +27,27 @@ class TaskConfig:
     milestones: tuple = (30, 60)
     gamma: float = 0.1
     epochs: int = 90
+    # The reference's CR drivers default to smaller batches than the SSL
+    # ones (eval_*_SSL_CR.py --batch_size: BPQ 4, Camelyon 8, Kather 8);
+    # 0 = same as batch_size.
+    cr_batch_size: int = 0
+
+    @property
+    def cr_batch(self) -> int:
+        return self.cr_batch_size or self.batch_size
 
 
 TASKS = {
     # eval_BreastPathQ_SSL.py:234-241: Adam 1e-4, batch 4, MSE head
     "breastpathq": TaskConfig("breastpathq", 1, "regression", 256, 4, "adam", 1e-4),
-    # eval_Camelyon_SSL.py:205-211: SGD-Nesterov 5e-4, batch 16, 2-way CE
-    "camelyon16": TaskConfig("camelyon16", 2, "classification", 256, 16, "sgd", 5e-4),
-    # eval_Kather_SSL.py:231-238: Adam 1e-5, batch 64, 9-way CE
-    "kather": TaskConfig("kather", 9, "classification", 224, 64, "adam", 1e-5),
+    # eval_Camelyon_SSL.py:205-211: SGD-Nesterov 5e-4, batch 16 per class,
+    # 2-way CE; CR batch 8 (eval_Camelyon_SSL_CR.py:247)
+    "camelyon16": TaskConfig("camelyon16", 2, "classification", 256, 16, "sgd", 5e-4,
+                             cr_batch_size=8),
+    # eval_Kather_SSL.py:231-238: Adam 1e-5, batch 64, 9-way CE; CR batch 8
+    # (eval_Kather_SSL_CR.py:267)
+    "kather": TaskConfig("kather", 9, "classification", 224, 64, "adam", 1e-5,
+                         cr_batch_size=8),
 }
 
 
@@ -141,12 +153,13 @@ def device_mesh(model_parallel: int = 1):
 
 def balanced_epoch_len(labels, batch_size: int) -> int:
     """Steps per epoch of the balanced binary iterator: the smaller class's
-    half-batch count (data.pipeline.balanced_batch_iterator) — the epoch
-    length LR milestones must be computed from for Camelyon16."""
+    per-class batch count (data.pipeline.balanced_batch_iterator draws
+    `batch_size` from EACH class per step) — the epoch length LR milestones
+    must be computed from for Camelyon16."""
     import numpy as np
 
     counts = np.bincount(np.asarray(labels, dtype=np.int64))
-    return max(int(counts.min()) // max(batch_size // 2, 1), 1)
+    return max(int(counts.min()) // max(batch_size, 1), 1)
 
 
 def resume_training(args, state, best, key):
@@ -166,8 +179,12 @@ def resume_training(args, state, best, key):
     if resume_path:
         state, rmeta = restore_checkpoint(resume_path, state)
         start_epoch = int(rmeta.get("epoch", 0)) + 1
-        if rmeta.get("best_val") is not None:
-            best.best = float(rmeta["best_val"])
+        # periodic ckpt_N metas persist best_val; the 'best' checkpoint's own
+        # meta carries it as best/best_val; old final metas may have neither
+        # but do carry this epoch's val_metric as a lower bound
+        bv = rmeta.get("best_val", rmeta.get("best", rmeta.get("val_metric")))
+        if bv is not None:
+            best.restore(float(bv))
         for _ in range(start_epoch - 1):
             key, _ = jax.random.split(key)
         print(f"==> resumed from {resume_path} (epoch {start_epoch - 1})")

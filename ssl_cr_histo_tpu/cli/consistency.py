@@ -91,7 +91,9 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = apply_task_overrides(args, TASKS[args.task])
     key = seed_everything(args.seed)
-    batch_size = args.batch_size or cfg.batch_size
+    # CR stage batch defaults differ from the SSL stage's (reference
+    # eval_*_SSL_CR.py --batch_size: BPQ 4 / Camelyon 8 / Kather 8)
+    batch_size = args.batch_size or cfg.cr_batch
     mesh = mesh_for_batch(batch_size)
     sharding = batch_sharding(mesh)
 
@@ -134,13 +136,17 @@ def main(argv=None):
     lr = args.lr or cfg.lr
     # LR milestones in steps, from the epoch length the loop ACTUALLY uses:
     # min(labeled batches, unlabeled batches) via zip (reference
-    # eval_Kather_SSL_CR.py:50 + per-epoch scheduler.step()); Camelyon16's
-    # labeled iterator is the balanced one (epoch = min-class count // half).
+    # eval_Kather_SSL_CR.py:50 + per-epoch scheduler.step()).  Camelyon16
+    # zips FOUR drop_last loaders — tumor/normal x labeled/unlabeled, each
+    # with per-class batch sizes B and B*mu (eval_Camelyon_SSL_CR.py:53-101,
+    # :330-356) — so both its iterators here are the balanced per-class ones.
     if cfg.name == "camelyon16":
         n_labeled_batches = balanced_epoch_len(labeled.labels, batch_size)
+        n_unlabeled_batches = balanced_epoch_len(train.labels, batch_size * args.mu)
     else:
         n_labeled_batches = len(labeled) // batch_size
-    n_steps = max(min(n_labeled_batches, len(train) // (batch_size * args.mu)), 1)
+        n_unlabeled_batches = len(train) // (batch_size * args.mu)
+    n_steps = max(min(n_labeled_batches, n_unlabeled_batches), 1)
     sched = optim.multistep_schedule(lr, [m * n_steps for m in cfg.milestones], cfg.gamma)
     base_tx = make_optimizer(cfg.optimizer, sched, args.weight_decay)
 
@@ -175,35 +181,50 @@ def main(argv=None):
     if resume_path:
         # teacher: per-epoch refresh mode re-derives it from the student at
         # the epoch boundary (teacher == student there by construction);
-        # EMA mode restores its own persisted copy.
+        # EMA mode restores its own persisted copy — written as
+        # teacher_{basename} next to every student checkpoint (ckpt_N, best,
+        # final), so any resume point can restore it.
         rdir, rbase = os.path.split(os.path.normpath(resume_path))
-        teacher_path = (
-            os.path.join(rdir, f"teacher_{rbase}") if rbase.startswith("ckpt_") else ""
-        )
-        if args.ema > 0 and teacher_path and os.path.isdir(teacher_path):
+        teacher_path = os.path.join(rdir, f"teacher_{rbase}")
+        if args.ema > 0 and os.path.isdir(teacher_path):
             tstate, _ = restore_checkpoint(teacher_path, state, restore_opt=False)
             teacher_params, teacher_stats = tstate.params, tstate.batch_stats
         else:
+            if args.ema > 0:
+                print(
+                    f"WARNING: --ema {args.ema} but no teacher checkpoint at "
+                    f"{teacher_path}; resetting the EMA teacher to the "
+                    f"student (accumulated EMA state from the interrupted "
+                    f"run is lost)"
+                )
             teacher_params, teacher_stats = S.refresh_teacher(state)
 
     for epoch in range(start_epoch, args.num_epoch + 1):
         t0 = time.time()
         tl, sl, cl = M.AverageMeter(), M.AverageMeter(), M.AverageMeter()
         if cfg.name == "camelyon16":
-            # balanced tumor/normal labeled batches (reference's 4 zipped
-            # loaders, eval_Camelyon_SSL_CR.py:53-101)
+            # the reference zips 4 loaders — tumor/normal x labeled/unlabeled
+            # (eval_Camelyon_SSL_CR.py:53-101): labeled batches are B per
+            # class and the unlabeled weak/strong pool is ALSO 50/50
+            # tumor/normal at B*mu per class
             from ssl_cr_histo_tpu.data.pipeline import balanced_batch_iterator
 
             lab_it = balanced_batch_iterator(
                 labeled.images, labeled.labels, batch_size, seed=args.seed + epoch
             )
+            unlab_it = (
+                (imgs,) for imgs, _ in balanced_batch_iterator(
+                    train.images, train.labels, batch_size * args.mu,
+                    seed=1000 + args.seed + epoch,
+                )
+            )
         else:
             lab_it = labeled.batches(batch_size, seed=args.seed + epoch)
-        unlab_it = (
-            (imgs,) for imgs, _ in train.batches(
-                batch_size * args.mu, seed=1000 + args.seed + epoch
+            unlab_it = (
+                (imgs,) for imgs, _ in train.batches(
+                    batch_size * args.mu, seed=1000 + args.seed + epoch
+                )
             )
-        )
         key, ek = jax.random.split(key)
         # epoch length = min(len(labeled), len(unlabeled)) batches
         # (reference zip(), eval_Kather_SSL_CR.py:50)
@@ -255,8 +276,14 @@ def main(argv=None):
         meta = {"epoch": epoch, "args": vars(args), "val_metric": val_metric}
         if best.update(val_metric, epoch, state, meta):
             print(f"==> new best {val_metric:.4f}")
+            if args.ema > 0:
+                save_checkpoint(
+                    os.path.join(args.save_dir, "teacher_best"),
+                    state.replace(params=teacher_params, batch_stats=teacher_stats),
+                    {"epoch": epoch, "role": "teacher"},
+                )
         if args.save_freq and epoch % args.save_freq == 0:
-            meta["best_val"] = best.best if np.isfinite(best.best) else None
+            meta["best_val"] = best.best_value
             save_checkpoint(os.path.join(args.save_dir, f"ckpt_{epoch}"), state, meta)
             if args.ema > 0:
                 save_checkpoint(
@@ -270,8 +297,8 @@ def main(argv=None):
     # under --ema it differs, so persist it as its own checkpoint.
     save_checkpoint(
         os.path.join(args.save_dir, "final"), state,
-        {"epoch": args.num_epoch,
-         "teacher": "ema (see final_teacher)" if args.ema > 0
+        {"epoch": args.num_epoch, "best_val": best.best_value,
+         "teacher": "ema (see teacher_final)" if args.ema > 0
          else "equals student (per-epoch refresh, eval_Kather_SSL_CR.py:582-583)"},
     )
     if args.ema > 0:
@@ -279,7 +306,7 @@ def main(argv=None):
             params=teacher_params, batch_stats=teacher_stats
         )
         save_checkpoint(
-            os.path.join(args.save_dir, "final_teacher"), teacher_state,
+            os.path.join(args.save_dir, "teacher_final"), teacher_state,
             {"epoch": args.num_epoch, "role": "teacher"},
         )
 

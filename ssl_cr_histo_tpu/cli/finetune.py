@@ -123,9 +123,10 @@ def main(argv=None):
     print(f"==> {len(train)} train / {len(val)} val samples")
 
     # LR milestones in steps, from the epoch length the loop ACTUALLY uses:
-    # Camelyon16's balanced iterator yields min-class-count // (batch/2)
-    # batches per epoch, not len(train) // batch (the reference decays per
-    # epoch at 30/60 — eval_Camelyon_SSL.py MultiStepLR).
+    # Camelyon16's balanced iterator yields min-class-count // batch_size
+    # batches per epoch (each of 2*batch_size samples, batch_size per class),
+    # not len(train) // batch (the reference decays per epoch at 30/60 —
+    # eval_Camelyon_SSL.py MultiStepLR).
     if cfg.name == "camelyon16":
         n_steps_per_epoch = balanced_epoch_len(train.labels, batch_size)
     else:
@@ -173,8 +174,10 @@ def main(argv=None):
         tl = M.AverageMeter()
         key, ek = jax.random.split(key)
         if cfg.name == "camelyon16":
-            # balanced tumor/normal batches (reference's zipped dual loaders,
-            # eval_Camelyon_SSL.py:50-75)
+            # balanced tumor/normal batches, batch_size PER CLASS — each step
+            # sees 2*batch_size labeled samples (reference's zipped dual
+            # loaders each of --batch_size, eval_Camelyon_SSL.py:281-291 +
+            # :50-75 concat)
             from ssl_cr_histo_tpu.data.pipeline import balanced_batch_iterator
 
             it = balanced_batch_iterator(
@@ -208,9 +211,12 @@ def main(argv=None):
         if best.update(val_metric, epoch, state, meta):
             print(f"==> new best {val_metric:.4f}")
         if args.save_freq and epoch % args.save_freq == 0:
-            meta["best_val"] = best.best if np.isfinite(best.best) else None
+            meta["best_val"] = best.best_value
             save_checkpoint(os.path.join(args.save_dir, f"ckpt_{epoch}"), state, meta)
-    save_checkpoint(os.path.join(args.save_dir, "final"), state, {"epoch": args.num_epoch})
+    save_checkpoint(
+        os.path.join(args.save_dir, "final"), state,
+        {"epoch": args.num_epoch, "best_val": best.best_value},
+    )
 
 
 def validate(cfg, state, val, forward, batch_size):

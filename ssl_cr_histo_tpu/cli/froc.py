@@ -58,6 +58,14 @@ def main(argv=None):
     args = parse_args(argv)
     if args.itc_um > 0 and args.mask_mpp <= 0:
         raise SystemExit("--itc_um needs --mask_mpp to convert um to grid pixels")
+    if args.itc_um <= 0:
+        print(
+            "WARNING: ITC exclusion is OFF (--itc_um 0).  The official "
+            "CAMELYON16 FROC protocol excludes isolated tumor cells "
+            "(< 275 um); scores without it are NOT comparable to published "
+            "numbers.  Pass --itc_um 275 --mask_mpp <um/grid-px> for the "
+            "official protocol."
+        )
     itc_px = args.itc_um / args.mask_mpp if args.itc_um > 0 else 0.0
 
     map_paths = sorted(glob.glob(os.path.join(args.probs_map_path, "*.npy")))

@@ -25,6 +25,7 @@ from ssl_cr_histo_tpu.cli.common import (
     add_common_args,
     chunked_feed,
     model_dtype,
+    resume_training,
     seed_everything,
 )
 from ssl_cr_histo_tpu.data.pipeline import pad_batches, prefetch_to_device
@@ -34,7 +35,7 @@ from ssl_cr_histo_tpu.models import Classifier, TripletNet
 from ssl_cr_histo_tpu.parallel import batch_sharding, mesh_for_batch
 from ssl_cr_histo_tpu.parallel import steps as S
 from ssl_cr_histo_tpu.train import optim
-from ssl_cr_histo_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from ssl_cr_histo_tpu.train.checkpoint import save_checkpoint
 from ssl_cr_histo_tpu.train.init import init_triplet_state
 from ssl_cr_histo_tpu.train.loop import BestTracker, CsvLogger, lookahead_epoch
 
@@ -72,6 +73,13 @@ def parse_args(argv=None):
     p.add_argument("--no_augment", action="store_true",
                    help="train on raw tiles (ablation / smoke-test aid; the "
                         "reference always augments)")
+    p.add_argument("--expand_orderings", action="store_true",
+                   help="strict reference epoch semantics: train each epoch "
+                        "on ALL 6 orderings of every triplet (x6 steps/epoch, "
+                        "host-enumerated — reference dataset.py:27-70 eager "
+                        "expansion).  Default samples one ordering per "
+                        "triplet per step (training-equivalent, 6x fewer "
+                        "reads)")
     p.add_argument("--resume", default="")
     p.add_argument("--steps_per_epoch", type=int, default=0,
                    help="0 = full pass over the sampled index")
@@ -92,6 +100,10 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.image_size:
+        # the common --image_size override maps onto the tile geometry here
+        # (pretraining has no TaskConfig; tiles ARE the input resolution)
+        args.tile_h = args.tile_w = args.image_size
     key = seed_everything(args.seed)
     mesh = mesh_for_batch(args.batch_size)
     sharding = batch_sharding(mesh)
@@ -144,23 +156,15 @@ def main(argv=None):
         n_aug=args.NAug, m_aug=args.Magn,
         aug_mode=args.aug_mode, photometric=args.photometric,
         joint_encode=args.joint_encode,
+        # --tsne replicates the reference's best-epoch feature dump, which
+        # accumulates TRAIN-batch features (pretrain_BreastPathQ.py:37-89)
+        return_feats=args.tsne,
     )
     if args.multi_step > 1:
         step = S.make_pretrain_multi_step(model, clf, tx, **step_kwargs)
     else:
         step = S.make_pretrain_step(model, clf, tx, **step_kwargs)
     eval_step = S.make_pretrain_eval_step(model, clf)
-
-    start_epoch = 1
-    resume_path = args.resume
-    if resume_path == "auto":
-        from ssl_cr_histo_tpu.train.checkpoint import latest_checkpoint
-
-        resume_path = latest_checkpoint(args.save_dir) or ""
-    if resume_path:
-        state, meta = restore_checkpoint(resume_path, state)
-        start_epoch = int(meta.get("epoch", 0)) + 1
-        print(f"==> resumed from {resume_path} (epoch {start_epoch - 1})")
 
     os.makedirs(args.save_dir, exist_ok=True)
     log = CsvLogger(
@@ -169,16 +173,35 @@ def main(argv=None):
     )
     best = BestTracker(args.save_dir, mode="min", gate_epoch=args.best_gate_epoch)
 
+    # shared --resume path (cli.common.resume_training): restores the
+    # best-val tracker (so a post-resume epoch can't silently overwrite a
+    # better pre-resume 'best') and advances the per-epoch key chain so
+    # augmentation randomness continues instead of replaying epoch 1's keys
+    state, start_epoch, key, _ = resume_training(args, state, best, key)
+
     # LRU-capped slide readers: the unbounded dict kept every slide open for
     # the whole run (unbounded FDs/page cache on TIGER-scale slide sets).
     from ssl_cr_histo_tpu.data.wsi import ReaderCache
 
     readers = ReaderCache(capacity=64)
+    expand = args.expand_orderings
     for epoch in range(start_epoch, args.num_epoch + 1):
         t0 = time.time()
         train_loss, train_acc = AverageMeter(), AverageMeter()
+        epoch_feats, epoch_targets = [], []
+
+        def keep_feats(m, j=None):
+            # accumulate per-train-batch features for the best-epoch dump
+            # (reference pretrain_BreastPathQ.py:71-89)
+            f, t = np.asarray(m["feats"]), np.asarray(m["labels"])
+            if j is not None:
+                f, t = f[j], t[j]
+            epoch_feats.append(f.astype(np.float32))
+            epoch_targets.append(t.astype(np.int32))
+
         batches = sampler.iter_batches(
-            train_indices, args.batch_size, seed=args.seed + epoch, readers=readers
+            train_indices, args.batch_size, seed=args.seed + epoch,
+            readers=readers, expand_orderings=expand,
         )
         if args.steps_per_epoch:
             # slice BEFORE prefetching so the worker thread ends with the
@@ -188,27 +211,43 @@ def main(argv=None):
             batches = itertools.islice(batches, args.steps_per_epoch)
         key, ek = jax.random.split(key)
         if args.multi_step > 1:
-            feed = chunked_feed(batches, mesh, args.multi_step)
+            feed = chunked_feed(
+                batches, mesh, args.multi_step, n_arrays=2 if expand else 1
+            )
             bi = 0
-            for tiles_k, valid in feed:
+            for data_k, valid in feed:
                 ek, sk = jax.random.split(ek)
-                state, ms = step(state, tiles_k, sk, valid)
+                if expand:
+                    tiles_k, labels_k = data_k
+                    state, ms = step(state, tiles_k, sk, valid, labels_k)
+                else:
+                    tiles_k = data_k
+                    state, ms = step(state, tiles_k, sk, valid)
                 losses, accs = np.asarray(ms["loss"]), np.asarray(ms["acc"])
                 for j in range(int(np.asarray(valid).sum())):
                     bi += 1
                     train_loss.update(float(losses[j]), tiles_k.shape[1])
                     train_acc.update(float(accs[j]), tiles_k.shape[1])
+                    if args.tsne:
+                        keep_feats(ms, j)
                     if bi % args.print_freq == 0:
                         print(
                             f"Train: [{epoch}][{bi}] loss {train_loss.val:.3f} "
                             f"({train_loss.avg:.3f}) acc {train_acc.avg:.3f}"
                         )
         else:
-            for bi, tiles in enumerate(prefetch_to_device(batches, sharding=sharding)):
+            for bi, item in enumerate(prefetch_to_device(batches, sharding=sharding)):
                 ek, sk = jax.random.split(ek)
-                state, m = step(state, tiles, sk)
+                if expand:
+                    tiles, labels = item
+                    state, m = step(state, tiles, sk, labels)
+                else:
+                    tiles = item
+                    state, m = step(state, tiles, sk)
                 train_loss.update(float(m["loss"]), tiles.shape[0])
                 train_acc.update(float(m["acc"]), tiles.shape[0])
+                if args.tsne:
+                    keep_feats(m)
                 if (bi + 1) % args.print_freq == 0:
                     print(
                         f"Train: [{epoch}][{bi + 1}] loss {train_loss.val:.3f} "
@@ -237,10 +276,25 @@ def main(argv=None):
 
         meta = {"epoch": epoch, "args": vars(args), "train_loss": train_loss.avg,
                 "val_loss": val_loss.avg}
-        if epoch % args.save_freq == 0:
-            save_checkpoint(os.path.join(args.save_dir, f"ckpt_{epoch}"), state, meta)
         if best.update(val_loss.avg, epoch, state, meta):
             print(f"==> new best val loss {val_loss.avg:.4f}")
+            if args.tsne and epoch_feats:
+                # reference best-epoch artifacts: the train epoch's feature/
+                # target arrays + their t-SNE plot, saved whenever a new
+                # best-val model appears (pretrain_BreastPathQ.py:322-340)
+                from ssl_cr_histo_tpu.eval.reporting import save_tsne_plot
+
+                f = np.concatenate(epoch_feats)
+                t = np.concatenate(epoch_targets)
+                np.save(os.path.join(args.save_dir, f"best_pre_trained_feats_{epoch}.npy"), f)
+                np.save(os.path.join(args.save_dir, f"best_pre_trained_targets_{epoch}.npy"), t)
+                save_tsne_plot(
+                    f, t, os.path.join(args.save_dir, f"best_tsne_feats_{epoch}.png")
+                )
+        if epoch % args.save_freq == 0:
+            # best_val rides periodic metas so resume restores the tracker
+            meta["best_val"] = best.best_value
+            save_checkpoint(os.path.join(args.save_dir, f"ckpt_{epoch}"), state, meta)
 
     if args.tsne and val_positions:
         from ssl_cr_histo_tpu.eval.reporting import save_tsne_plot

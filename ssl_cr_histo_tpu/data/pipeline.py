@@ -184,19 +184,24 @@ def balanced_batch_iterator(
     batch_size: int,
     seed: int = 0,
 ) -> Iterator:
-    """Class-balanced batches: half from each binary class, concatenated and
-    shuffled — the reference's Camelyon16 dual tumor/normal zipped-loader
-    scheme (eval_Camelyon_SSL.py:50-75).  Epoch length = the smaller class's
-    batch count."""
+    """Class-balanced batches with the reference's Camelyon16 dual-loader
+    semantics: `batch_size` samples from EACH binary class per step, so each
+    yielded batch has `2 * batch_size` rows, concatenated and shuffled.  The
+    reference zips a tumor loader and a normal loader each of batch_size and
+    concatenates (eval_Camelyon_SSL.py:281-291 loader construction, :50-75
+    concat + torch.randperm shuffle).  Epoch length = the smaller class's
+    batch count (zip of two drop_last loaders)."""
     rng = np.random.default_rng(seed)
-    half = batch_size // 2
     classes = np.unique(labels)
     if len(classes) != 2:
         raise ValueError("balanced_batch_iterator expects binary labels")
     idx_a = rng.permutation(np.where(labels == classes[0])[0])
     idx_b = rng.permutation(np.where(labels == classes[1])[0])
-    n_batches = min(len(idx_a), len(idx_b)) // half
+    n_batches = min(len(idx_a), len(idx_b)) // batch_size
     for i in range(n_batches):
-        sel = np.concatenate([idx_a[i * half : (i + 1) * half], idx_b[i * half : (i + 1) * half]])
+        sel = np.concatenate(
+            [idx_a[i * batch_size : (i + 1) * batch_size],
+             idx_b[i * batch_size : (i + 1) * batch_size]]
+        )
         rng.shuffle(sel)
         yield images[sel], labels[sel]

@@ -188,13 +188,20 @@ class RSPTripletSampler:
         seed: int = 0,
         drop_last: bool = True,
         readers=None,
+        expand_orderings: bool = False,
     ) -> Iterator[np.ndarray]:
         """Shuffle the global work list and yield (B, 3, t, t, 3) uint8
         batches, opening each slide once.
 
         readers: a ``wsi.ReaderCache`` (preferred — LRU-capped open slides)
         or a plain dict; pass the same object across epochs to reuse
-        handles."""
+        handles.
+
+        expand_orderings: strict reference epoch semantics — every triplet
+        appears 6 times per epoch, once per resolution-sequence ordering
+        (the reference's eager x6 dataset expansion, dataset.py:27-70),
+        shuffled across the epoch; yields (tiles, labels) tuples with the
+        (B,) int32 ordering labels for the step to apply verbatim."""
         from ssl_cr_histo_tpu.data.wsi import ReaderCache
 
         if readers is None:
@@ -212,14 +219,24 @@ class RSPTripletSampler:
             for idx in indices
             for x, y in idx.coords
         ]
+        if expand_orderings:
+            work = [(p, x, y, lab) for p, x, y in work for lab in range(6)]
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(work))
-        batch = []
+        batch, labels = [], []
         for i in order:
-            path, x, y = work[i]
-            batch.append(self.read_triplet(get_reader(path), x, y))
+            item = work[i]
+            batch.append(self.read_triplet(get_reader(item[0]), item[1], item[2]))
+            if expand_orderings:
+                labels.append(item[3])
             if len(batch) == batch_size:
-                yield np.stack(batch)
-                batch = []
+                yield (
+                    (np.stack(batch), np.asarray(labels, np.int32))
+                    if expand_orderings else np.stack(batch)
+                )
+                batch, labels = [], []
         if batch and not drop_last:
-            yield np.stack(batch)
+            yield (
+                (np.stack(batch), np.asarray(labels, np.int32))
+                if expand_orderings else np.stack(batch)
+            )

@@ -71,10 +71,17 @@ def _pretrain_body(
     joint_encode: bool,
     mean,
     std,
+    return_feats: bool = False,
 ) -> Callable:
     """The un-jitted pretrain step body, shared by ``make_pretrain_step``
     (one jitted dispatch per batch) and ``make_pretrain_multi_step`` (a
-    ``lax.scan`` over K stacked batches in one dispatch)."""
+    ``lax.scan`` over K stacked batches in one dispatch).
+
+    return_feats: also emit the (B, D) TripletNet features and the (B,)
+    ordering labels in the metrics — the reference accumulates these every
+    train batch for the best-epoch t-SNE dump
+    (pretrain_BreastPathQ.py:37-89, :322-340); off by default to keep the
+    D2H transfer out of the steady-state step."""
 
     def loss_fn(params, batch_stats, tiles, labels):
         variables = {"params": params["model"], "batch_stats": batch_stats}
@@ -97,9 +104,10 @@ def _pretrain_body(
         logits = classifier.apply({"params": params["head"]}, feats)
         loss = cross_entropy(logits, labels)
         acc = jnp.mean(jnp.argmax(logits, -1) == labels)
-        return loss, (mutated["batch_stats"], acc)
+        return loss, (mutated["batch_stats"], acc, feats)
 
-    def step(state: TrainState, tiles_u8: jnp.ndarray, key: jax.Array):
+    def step(state: TrainState, tiles_u8: jnp.ndarray, key: jax.Array,
+             labels: Optional[jnp.ndarray] = None):
         kperm, kaug = jax.random.split(key)
         b = tiles_u8.shape[0]
         # Permute the resolution sequence on the RAW uint8 tiles, before the
@@ -107,7 +115,11 @@ def _pretrain_body(
         # is identical — v1 draws one parameter set per triplet (shared by
         # all 3 tiles) and v2 draws iid per tile, so augmentation and
         # reordering commute (exactly for v1, in distribution for v2).
-        labels = jax.random.randint(kperm, (b,), 0, 6)
+        # labels=None: one ordering sampled per triplet per step (default);
+        # an explicit labels array is the strict x6 eager-expansion mode
+        # (--expand_orderings), where the host enumerates every ordering.
+        if labels is None:
+            labels = jax.random.randint(kperm, (b,), 0, 6)
         tiles_u8 = permute_triplets(tiles_u8, labels)
         planar = False
         if augment == "v1":
@@ -141,7 +153,7 @@ def _pretrain_body(
             )
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (new_stats, acc)), grads = grad_fn(
+        (loss, (new_stats, acc, feats)), grads = grad_fn(
             state.params, state.batch_stats, tiles, labels
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -152,7 +164,11 @@ def _pretrain_body(
             opt_state=opt_state,
             step=state.step + 1,
         )
-        return state, {"loss": loss, "acc": acc}
+        metrics = {"loss": loss, "acc": acc}
+        if return_feats:
+            metrics["feats"] = feats
+            metrics["labels"] = labels
+        return state, metrics
 
     return step
 
@@ -170,19 +186,23 @@ def make_pretrain_step(
     mean=aug_batch.DEFAULT_MEAN,
     std=aug_batch.DEFAULT_STD,
     donate: bool = True,
+    return_feats: bool = False,
 ) -> Callable:
     """Build the jitted RSP pretraining step.
 
     batch: uint8 (B, 3, H, W, 3) tiles in [HR, LR1, LR2] order.
-    The 6-way sequence permutation is sampled on device per example (the
-    reference instead expands the dataset x6 eagerly — dataset.py:27-70; the
-    training signal is the same with one random ordering per triplet per
-    step, without 6x RAM).
-    Returns (state, metrics) with metrics {'loss', 'acc'}.
+    step(state, tiles, key[, labels]): the 6-way sequence permutation is
+    sampled on device per example by default (the reference instead expands
+    the dataset x6 eagerly — dataset.py:27-70; the training signal is the
+    same with one random ordering per triplet per step, without 6x RAM);
+    passing an explicit (B,) labels array selects the strict eager mode
+    (``--expand_orderings``, host-enumerated orderings).
+    Returns (state, metrics) with metrics {'loss', 'acc'} (+ 'feats',
+    'labels' when return_feats).
     """
     body = _pretrain_body(
         model, classifier, tx, augment, n_aug, m_aug, aug_mode, photometric,
-        joint_encode, mean, std,
+        joint_encode, mean, std, return_feats,
     )
     return jax.jit(body, donate_argnums=(0,) if donate else ())
 
@@ -200,6 +220,7 @@ def make_pretrain_multi_step(
     mean=aug_batch.DEFAULT_MEAN,
     std=aug_batch.DEFAULT_STD,
     donate: bool = True,
+    return_feats: bool = False,
 ) -> Callable:
     """K pretraining steps in ONE jitted dispatch via ``lax.scan``.
 
@@ -208,34 +229,38 @@ def make_pretrain_multi_step(
     thread ships the next chunk.  The per-step math is byte-identical to
     ``make_pretrain_step`` (same body).
 
-    multi(state, tiles_u8 (K, B, 3, H, W, 3), key, valid (K,)) ->
-        (state, metrics stacked (K,)).
+    multi(state, tiles_u8 (K, B, 3, H, W, 3), key, valid (K,)[, labels
+    (K, B)]) -> (state, metrics stacked (K,)).
     ``valid`` masks zero-padded trailing steps of a partial final chunk:
     an invalid step's state update is discarded (the scan still runs it on
     the padded batch — static shapes — but the state passes through
     unchanged), so any chunk size divides any epoch length exactly.
+    ``labels`` (optional) = host-enumerated orderings per step
+    (--expand_orderings strict x6 mode).
     """
     body = _pretrain_body(
         model, classifier, tx, augment, n_aug, m_aug, aug_mode, photometric,
-        joint_encode, mean, std,
+        joint_encode, mean, std, return_feats,
     )
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def multi(state: TrainState, tiles_u8: jnp.ndarray, key: jax.Array,
-              valid: jnp.ndarray):
+              valid: jnp.ndarray, labels: Optional[jnp.ndarray] = None):
         keys = jax.random.split(key, tiles_u8.shape[0])
+        with_labels = labels is not None  # static at trace time
 
         def scan_body(st, inp):
-            tiles, k_i, v = inp
-            new_st, m = body(st, tiles, k_i)
+            tiles, k_i, v = inp[:3]
+            new_st, m = body(st, tiles, k_i, inp[3] if with_labels else None)
             st = jax.tree_util.tree_map(
                 lambda n, o: jnp.where(v > 0, n, o), new_st, st
             )
             return st, m
 
-        state, ms = jax.lax.scan(
-            scan_body, state, (tiles_u8, keys, valid.astype(jnp.float32))
-        )
+        xs = (tiles_u8, keys, valid.astype(jnp.float32))
+        if with_labels:
+            xs = xs + (labels,)
+        state, ms = jax.lax.scan(scan_body, state, xs)
         return state, ms
 
     return multi

@@ -94,10 +94,26 @@ class BestTracker:
     gate_epoch: int = 0
     best: float = field(default=float("inf"))
 
+    @property
+    def best_value(self) -> "float | None":
+        """The raw (unsigned) best metric, or None before any update —
+        checkpoint metas persist this so resume can restore the tracker."""
+        if not np.isfinite(self.best):
+            return None
+        return self.best if self.mode == "min" else -self.best
+
+    def restore(self, value: float) -> None:
+        """Re-arm from a persisted raw best value (resume)."""
+        self.best = value if self.mode == "min" else -value
+
     def update(self, value: float, epoch: int, state: TrainState, meta: dict) -> bool:
         v = value if self.mode == "min" else -value
         if epoch <= self.gate_epoch or v >= self.best:
             return False
         self.best = v
-        save_checkpoint(os.path.join(self.save_dir, "best"), state, dict(meta, best=value))
+        save_checkpoint(
+            os.path.join(self.save_dir, "best"),
+            state,
+            dict(meta, best=value, best_val=value),
+        )
         return True

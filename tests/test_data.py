@@ -467,3 +467,33 @@ def test_prefetch_iter_host_side():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_sampler_expand_orderings_epoch(tmp_path):
+    """--expand_orderings strict mode (reference dataset.py:27-70 eager x6
+    expansion): every triplet position appears exactly 6 times per epoch,
+    once per ordering label, shuffled; batches carry the labels."""
+    pyr = synthetic_wsi(1024, 1024, seed=0)
+    np.save(tmp_path / "slide0.npy", pyr._levels[0])
+    s = RSPTripletSampler(tile=64, stride=64, geometry="v2", check_mpp=False)
+    indices = s.index_directory(str(tmp_path))
+    n_pos = sum(len(i.coords) for i in indices)
+    batches = list(
+        s.iter_batches(indices, batch_size=4, seed=0, drop_last=False,
+                       expand_orderings=True)
+    )
+    tiles_all = np.concatenate([b[0] for b in batches])
+    labels_all = np.concatenate([b[1] for b in batches])
+    assert len(tiles_all) == 6 * n_pos
+    assert labels_all.dtype == np.int32
+    # each label appears exactly n_pos times
+    assert np.bincount(labels_all, minlength=6).tolist() == [n_pos] * 6
+    # identical tile content appears 6x: group by content hash
+    import hashlib
+
+    seen = {}
+    for tile, lab in zip(tiles_all, labels_all):
+        h = hashlib.md5(tile.tobytes()).hexdigest()
+        seen.setdefault(h, []).append(int(lab))
+    for labs in seen.values():
+        assert sorted(labs) == [0, 1, 2, 3, 4, 5]

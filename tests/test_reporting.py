@@ -34,17 +34,34 @@ def test_scatter_and_bland_altman(tmp_path):
 
 
 def test_balanced_batch_iterator():
-    rng = np.random.default_rng(0)
+    """Reference dual-loader semantics (eval_Camelyon_SSL.py:281-291 +
+    :50-75): batch_size samples from EACH class per step -> 2*batch_size
+    rows per yielded batch; epoch length = min-class count // batch_size."""
     images = np.arange(30)[:, None].astype(np.uint8)
     labels = np.array([0] * 20 + [1] * 10)
     batches = list(balanced_batch_iterator(images, labels, batch_size=4, seed=0))
-    # smaller class has 10 -> 5 batches of 2+2
-    assert len(batches) == 5
+    # smaller class has 10 -> 2 batches, each 4+4
+    assert len(batches) == 2
     for imgs, labs in batches:
-        assert (labs == 0).sum() == 2 and (labs == 1).sum() == 2
-    # no duplicate use of minority samples
+        assert len(labs) == 8
+        assert (labs == 0).sum() == 4 and (labs == 1).sum() == 4
+    # no duplicate use of minority samples across the epoch
     used = np.concatenate([l for _, l in batches])
-    assert (used == 1).sum() == 10
+    assert (used == 1).sum() == 8
+    sel = np.concatenate([i[:, 0] for i, _ in batches])
+    assert len(np.unique(sel)) == len(sel)
+
+
+def test_balanced_epoch_len_matches_iterator():
+    from ssl_cr_histo_tpu.cli.common import balanced_epoch_len
+
+    labels = np.array([0] * 37 + [1] * 23)
+    images = np.zeros((60, 1), np.uint8)
+    for bs in (4, 8, 16):
+        got = len(list(balanced_batch_iterator(images, labels, bs, seed=1)))
+        assert got == balanced_epoch_len(labels, bs) or (
+            got == 0 and balanced_epoch_len(labels, bs) == 1
+        )
 
 
 def test_step_timer_and_throughput():

@@ -440,3 +440,57 @@ def test_consistency_multi_step_matches_sequential(toy_batch):
         state0, t_params0, t_stats0, xl_k, yl_k, xu_k, key, jnp.array([1.0, 0.0])
     )
     assert int(p_state.step) == 1
+
+
+def test_pretrain_step_explicit_orderings(toy_batch):
+    """Explicit labels (--expand_orderings) bypass the on-device ordering
+    sampling: the step is deterministic in the labels — different RNG keys
+    give identical loss with augment=None — and metrics echo the labels
+    when return_feats is on."""
+    model = TripletNet("resnet18")
+    clf = Classifier(num_classes=6)
+    tx = optim.adam(1e-3)
+    state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=IMG)
+    step = S.make_pretrain_step(model, clf, tx, augment=None, donate=False,
+                                return_feats=True)
+    labels = jnp.array([0, 1, 2, 3, 4, 5, 0, 1], jnp.int32)
+    _, m1 = step(state, jnp.asarray(toy_batch), jax.random.PRNGKey(1), labels)
+    _, m2 = step(state, jnp.asarray(toy_batch), jax.random.PRNGKey(2), labels)
+    assert float(m1["loss"]) == float(m2["loss"])
+    np.testing.assert_array_equal(np.asarray(m1["labels"]), np.asarray(labels))
+    assert m1["feats"].shape[0] == len(labels) and m1["feats"].ndim == 2
+
+
+def test_pretrain_multi_step_explicit_orderings(toy_batch):
+    """Multi-step scan with host-enumerated orderings matches running the
+    single steps sequentially."""
+    model = TripletNet("resnet18")
+    clf = Classifier(num_classes=6)
+    tx = optim.adam(1e-3)
+    state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=IMG)
+    single = S.make_pretrain_step(model, clf, tx, augment=None, donate=False)
+    multi = S.make_pretrain_multi_step(model, clf, tx, augment=None, donate=False)
+
+    k = 3
+    tiles_k = jnp.asarray(np.stack([toy_batch] * k))
+    labels_k = jnp.asarray(
+        np.random.default_rng(0).integers(0, 6, (k, len(toy_batch))).astype(np.int32)
+    )
+    key = jax.random.PRNGKey(5)
+    st_m, ms = multi(state, tiles_k, key, jnp.ones(k), labels_k)
+
+    st_s = state
+    keys = jax.random.split(key, k)
+    for i in range(k):
+        st_s, m = single(st_s, tiles_k[i], keys[i], labels_k[i])
+        # same tolerance rationale as test_multi_step_matches_sequential:
+        # BN rsqrt amplifies XLA's different f32 reduction orders in/out of
+        # the scan
+        np.testing.assert_allclose(
+            float(ms["loss"][i]), float(m["loss"]), rtol=1e-3
+        )
+    np.testing.assert_allclose(
+        np.asarray(st_m.params["head"]["fc1"]["kernel"]),
+        np.asarray(st_s.params["head"]["fc1"]["kernel"]),
+        atol=2e-3,
+    )
