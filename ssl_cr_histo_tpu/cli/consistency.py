@@ -267,7 +267,8 @@ def main(argv=None):
         if args.ema == 0:
             teacher_params, teacher_stats = S.refresh_teacher(state)
 
-        val_metric = validate(cfg, state, val, val_forward, batch_size)
+        val_metric = validate(cfg, state, val, val_forward, batch_size,
+                              sharding=sharding)
         log.append(epoch, tl.avg, sl.avg, cl.avg, val_metric)
         print(
             f"epoch {epoch}: loss {tl.avg:.4f} (sup {sl.avg:.4f} cons {cl.avg:.4f}) "

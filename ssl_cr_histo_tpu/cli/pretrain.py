@@ -80,6 +80,12 @@ def parse_args(argv=None):
                         "expansion).  Default samples one ordering per "
                         "triplet per step (training-equivalent, 6x fewer "
                         "reads)")
+    p.add_argument("--index_cache_dir", default="auto",
+                   help="persistent slide-index cache ('auto' = "
+                        "<train_image_pth>/.rsp_index; '' disables): re-runs "
+                        "on the same slides skip the foreground scan")
+    p.add_argument("--index_workers", type=int, default=0,
+                   help="slide-indexing threads (0 = min(8, cpus))")
     p.add_argument("--resume", default="")
     p.add_argument("--steps_per_epoch", type=int, default=0,
                    help="0 = full pass over the sampled index")
@@ -115,7 +121,11 @@ def main(argv=None):
         lwst_level_idx=args.lwst_level_idx,
     )
     print(f"==> indexing WSIs under {args.train_image_pth} ...")
-    indices = sampler.index_directory(args.train_image_pth)
+    indices = sampler.index_directory(
+        args.train_image_pth,
+        cache_dir=args.index_cache_dir or None,
+        n_workers=args.index_workers,
+    )
     n_total = sum(len(i.coords) for i in indices)
     if n_total == 0:
         raise SystemExit("no foreground tiles found")

@@ -129,17 +129,93 @@ class RSPTripletSampler:
                     coords.append((xpos, ypos))
         return TripletIndex(slide_path, np.asarray(coords, np.int64).reshape(-1, 2))
 
-    def index_directory(self, image_dir: str, exts: Sequence[str] = ("tif", "svs", "npy")) -> List[TripletIndex]:
+    def _cache_key(self, path: str) -> str:
+        """Digest of (slide identity, sampling geometry): any change to the
+        file or to tile/stride/geometry/lwst_level_idx invalidates."""
+        import hashlib
+
+        st = os.stat(path)
+        payload = "|".join(
+            str(v) for v in (
+                os.path.abspath(path), st.st_mtime_ns, st.st_size,
+                self.tile, self.stride, self.geometry, self.lwst_level_idx,
+                self.check_mpp,
+            )
+        )
+        return hashlib.sha1(payload.encode()).hexdigest()
+
+    def index_directory(
+        self,
+        image_dir: str,
+        exts: Sequence[str] = ("tif", "svs", "npy"),
+        cache_dir: "str | None" = "auto",
+        n_workers: int = 0,
+    ) -> List[TripletIndex]:
+        """Index every slide under ``image_dir``, with a persistent on-disk
+        coordinate cache and a slide-level thread pool.
+
+        The reference re-scans every grid tile of every slide serially at
+        each startup (dataset.py:424-436 inside the Dataset constructor) —
+        hours of foreground testing on Camelyon16-scale sets before step 1.
+        Here each slide's foreground scan result persists as an .npz keyed
+        by (path, mtime, size, tile, stride, geometry, lwst_level_idx), so
+        re-runs skip the scan entirely, and cold scans run one slide per
+        thread (readers are per-thread — PIL/TIFF handles are not
+        thread-safe to share).
+
+        cache_dir: "auto" -> ``<image_dir>/.rsp_index`` (falls back to
+        ``~/.cache/ssl_cr_histo_tpu/rsp_index`` if unwritable); None/""
+        disables caching.  n_workers: 0 -> min(8, cpu count).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         paths: List[str] = []
         for ext in exts:
             paths += glob.glob(os.path.join(image_dir, f"*.{ext}"))
-        out = []
-        for p in sorted(paths):
-            reader = open_slide(p)
-            idx = self.index_slide(reader, p)
-            if len(idx.coords):
-                out.append(idx)
-        return out
+        paths = sorted(paths)
+
+        if cache_dir == "auto":
+            cache_dir = os.path.join(image_dir, ".rsp_index")
+        if cache_dir:
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                probe = os.path.join(cache_dir, ".w")
+                with open(probe, "w"):
+                    pass
+                os.remove(probe)
+            except OSError:
+                cache_dir = os.path.join(
+                    os.path.expanduser("~/.cache/ssl_cr_histo_tpu/rsp_index")
+                )
+                os.makedirs(cache_dir, exist_ok=True)
+
+        def one(p: str) -> TripletIndex:
+            cpath = (
+                os.path.join(cache_dir, self._cache_key(p) + ".npz")
+                if cache_dir else None
+            )
+            if cpath and os.path.exists(cpath):
+                with np.load(cpath) as z:
+                    return TripletIndex(p, z["coords"])
+            idx = self.index_slide(open_slide(p), p)
+            if cpath:
+                import tempfile
+
+                fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".npz")
+                with os.fdopen(fd, "wb") as f:
+                    np.savez(f, coords=idx.coords)
+                os.replace(tmp, cpath)
+            return idx
+
+        n_workers = n_workers or min(8, os.cpu_count() or 1)
+        if n_workers > 1 and len(paths) > 1:
+            with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                out = list(ex.map(one, paths))
+        else:
+            out = [one(p) for p in paths]
+        # empty slides stay in the cache (so they skip re-scans) but drop
+        # out of the returned work list
+        return [i for i in out if len(i.coords)]
 
     # -- triplet reads -----------------------------------------------------
 

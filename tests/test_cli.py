@@ -750,3 +750,46 @@ def test_pretrain_cli_expand_orderings_and_best_dump(tmp_path):
     # features cover 6x the triplet positions (minus drop_last remainder)
     assert set(np.unique(targets)).issubset(set(range(6)))
     assert len(np.unique(targets)) == 6
+
+
+def test_sharded_eval_matches_unsharded():
+    """validate/predict_all sharded over the 8-device data mesh produce the
+    same numbers as single-device eval (VERDICT r2: eval previously ran
+    unsharded on one chip)."""
+    import dataclasses
+
+    import jax
+
+    from ssl_cr_histo_tpu.cli.common import TASKS
+    from ssl_cr_histo_tpu.cli.finetune import predict_all, validate
+    from ssl_cr_histo_tpu.data.datasets import ArrayDataset
+    from ssl_cr_histo_tpu.models import FinetuneHead, TripletNet
+    from ssl_cr_histo_tpu.parallel import batch_sharding, mesh_for_batch
+    from ssl_cr_histo_tpu.parallel import steps as S
+    from ssl_cr_histo_tpu.train import optim
+    from ssl_cr_histo_tpu.train.init import init_triplet_state
+
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(
+        (rng.random((21, 32, 32, 3)) * 255).astype(np.uint8),
+        rng.integers(0, 2, 21).astype(np.int64),
+    )
+    cfg = dataclasses.replace(TASKS["camelyon16"], image_size=32)
+    model = TripletNet("resnet18")
+    head = FinetuneHead(num_classes=2)
+    state = init_triplet_state(
+        model, head, optim.adam(1e-4), jax.random.PRNGKey(0),
+        image_size=32, triplet=False,
+    )
+    forward = S.make_forward_fn(model, head)
+    sharding = batch_sharding(mesh_for_batch(8))
+
+    v_plain = validate(cfg, state, ds, forward, 8)
+    v_shard = validate(cfg, state, ds, forward, 8, sharding=sharding)
+    np.testing.assert_allclose(v_shard, v_plain, rtol=1e-5, atol=1e-6)
+
+    p_plain = predict_all(state, forward, ds, cfg, raw=True, batch_size=8)
+    p_shard = predict_all(state, forward, ds, cfg, raw=True, batch_size=8,
+                          sharding=sharding)
+    assert p_plain.shape == (21, 2)
+    np.testing.assert_allclose(p_shard, p_plain, rtol=1e-4, atol=1e-5)

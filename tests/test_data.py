@@ -497,3 +497,44 @@ def test_sampler_expand_orderings_epoch(tmp_path):
         seen.setdefault(h, []).append(int(lab))
     for labs in seen.values():
         assert sorted(labs) == [0, 1, 2, 3, 4, 5]
+
+
+def test_index_directory_cache_and_threads(tmp_path, monkeypatch):
+    """Persistent index cache: the second scan reads the .npz instead of
+    re-running the foreground scan; cache invalidates on parameter change;
+    threaded and serial scans agree."""
+    for i in range(3):
+        np.save(tmp_path / f"s{i}.npy", synthetic_wsi(1024, 1024, seed=i)._levels[0])
+    s = RSPTripletSampler(tile=64, stride=64, geometry="v2", check_mpp=False)
+
+    serial = s.index_directory(str(tmp_path), n_workers=1)
+    assert (tmp_path / ".rsp_index").is_dir()
+    threaded = s.index_directory(str(tmp_path), n_workers=4)
+    assert len(serial) == len(threaded)
+    for a, b in zip(serial, threaded):
+        assert a.slide_path == b.slide_path
+        np.testing.assert_array_equal(a.coords, b.coords)
+
+    # second run must not call index_slide at all
+    calls = []
+    real = RSPTripletSampler.index_slide
+
+    def counting(self, reader, slide_path=""):
+        calls.append(slide_path)
+        return real(self, reader, slide_path)
+
+    monkeypatch.setattr(RSPTripletSampler, "index_slide", counting)
+    cached = s.index_directory(str(tmp_path))
+    assert calls == []
+    for a, b in zip(serial, cached):
+        np.testing.assert_array_equal(a.coords, b.coords)
+
+    # different geometry params -> cache miss -> fresh scan
+    s2 = RSPTripletSampler(tile=64, stride=32, geometry="v2", check_mpp=False)
+    s2.index_directory(str(tmp_path))
+    assert len(calls) == 3
+
+    # disabling the cache also scans
+    calls.clear()
+    s.index_directory(str(tmp_path), cache_dir=None)
+    assert len(calls) == 3
