@@ -59,10 +59,11 @@ def main():
     clf = Classifier(num_classes=6)
     tx = optim.sgd_nesterov(0.01, momentum=0.9, weight_decay=1e-4)
     state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=tile)
-    # Execution mode matches the pretrain CLI defaults: pallas photometric
-    # backend (VMEM-resident fused chain), joint triplet encoding, and
-    # multi-step scan (--multi_step 8: 8 train steps per device dispatch,
-    # amortizing host dispatch latency like the CLI's chunked feed).
+    # Execution mode == the pretrain CLI's SHIPPED defaults (cli.pretrain:
+    # --photometric auto -> pallas on TPU, --joint_encode on by default,
+    # --multi_step 8: 8 train steps per device dispatch, amortizing host
+    # dispatch latency like the CLI's chunked feed), so this measures what
+    # `python -m ssl_cr_histo_tpu.cli.pretrain` actually runs.
     k_steps = 8
     multi = S.make_pretrain_multi_step(
         model, clf, tx, augment="v1", photometric="pallas", joint_encode=True

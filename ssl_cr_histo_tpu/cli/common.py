@@ -115,21 +115,32 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
              "larger per-chip batches (e.g. resnet50 batch 128 at 256^2)",
     )
     parser.add_argument(
-        "--aug_mode", default="fused", choices=["fused", "fast", "exact"],
-        help="fused = single-warp TPU fast path; fast = masked-application "
-             "v2 variant (exact selection law, canonical op order); exact = "
-             "op-by-op reference semantics",
+        "--aug_mode", default="fused", choices=["fused", "fast", "masked", "exact"],
+        help="fused = single-warp TPU fast path; fast = batch-shared strong "
+             "op sequence (CR); masked = per-image masked strong pool (CR; "
+             "presence-exact, canonical order); exact = op-by-op reference "
+             "semantics",
     )
     parser.add_argument(
-        "--photometric", default="xla", choices=["xla", "pallas"],
+        "--photometric", default="auto", choices=["auto", "xla", "pallas"],
         help="photometric-chain backend in fused mode (pallas = VMEM-resident "
-             "kernel, TPU only)",
+             "kernel, TPU only; auto = pallas on TPU backends, xla elsewhere "
+             "— the shipped default IS the benchmarked config)",
     )
     parser.add_argument(
         "--image_size", type=int, default=0,
         help="override the task's input resolution (0 = task default; the "
              "reference hard-codes 256/224 per task)",
     )
+
+
+def resolve_photometric(args) -> str:
+    """Resolve --photometric 'auto': the Pallas/Mosaic kernel on TPU-class
+    backends, plain XLA on CPU (Mosaic does not lower there).  Called after
+    seed_everything so the backend is already initialized."""
+    if getattr(args, "photometric", "auto") == "auto":
+        args.photometric = "xla" if jax.default_backend() == "cpu" else "pallas"
+    return args.photometric
 
 
 def apply_task_overrides(args, cfg: TaskConfig) -> TaskConfig:

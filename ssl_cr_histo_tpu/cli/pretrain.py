@@ -25,6 +25,7 @@ from ssl_cr_histo_tpu.cli.common import (
     add_common_args,
     chunked_feed,
     model_dtype,
+    resolve_photometric,
     resume_training,
     seed_everything,
 )
@@ -93,10 +94,14 @@ def parse_args(argv=None):
                    help="train steps scanned per device dispatch (lax.scan); "
                         "amortizes host dispatch latency.  1 = one dispatch "
                         "per step")
-    p.add_argument("--joint_encode", action="store_true",
+    p.add_argument("--joint_encode", action="store_true", default=True,
                    help="one batched backbone pass over the 3 views (~2x "
                         "faster fwd/bwd; BN stats joint across views instead "
-                        "of per-view — see models.nets.forward_joint)")
+                        "of per-view — see models.nets.forward_joint).  ON "
+                        "by default (the benchmarked config); "
+                        "--no_joint_encode restores the reference's "
+                        "per-view BN statistics")
+    p.add_argument("--no_joint_encode", dest="joint_encode", action="store_false")
     p.add_argument("--tsne", action="store_true",
                    help="save a t-SNE plot of validation features at the end "
                         "(reference pretrain_BreastPathQ.py:322-340)")
@@ -111,6 +116,7 @@ def main(argv=None):
         # (pretraining has no TaskConfig; tiles ARE the input resolution)
         args.tile_h = args.tile_w = args.image_size
     key = seed_everything(args.seed)
+    resolve_photometric(args)
     mesh = mesh_for_batch(args.batch_size)
     sharding = batch_sharding(mesh)
 

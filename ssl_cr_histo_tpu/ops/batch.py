@@ -92,6 +92,7 @@ def augment_rsp_batch_v2(
     ra = {
         "fused": fused.randaugment_v2_fused,
         "fast": fused.randaugment_v2_masked,
+        "masked": fused.randaugment_v2_masked,
         "exact": randaugment.randaugment_v2,
     }[mode]
 
@@ -149,7 +150,11 @@ def transform_fix_batch(
         weak, strong = fused.transform_fix_fast_batch(key, imgs, n=n, m=m)
         return _clip01(weak), _clip01(strong)
     keys = jax.random.split(key, b)
-    base = fused.transform_fix_fused if mode == "fused" else randaugment.transform_fix
+    base = {
+        "fused": fused.transform_fix_fused,
+        "masked": fused.transform_fix_masked,  # per-image masked pool (law note there)
+        "exact": randaugment.transform_fix,
+    }[mode]
     fn = partial(base, n=n, m=m)
     weak, strong = jax.vmap(fn)(imgs, keys)
     return _clip01(weak), _clip01(strong)

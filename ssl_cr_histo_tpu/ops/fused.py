@@ -377,6 +377,72 @@ def randaugment_v1_shared_batch(
     )(imgs, g)
 
 
+def randaugment_v1_masked(img: jnp.ndarray, key: jax.Array, n: int, m: int) -> jnp.ndarray:
+    """Masked-application fast variant of the v1 strong pool: each of the 9
+    ops runs ONCE in canonical (pool) order, gated by its presence in the n
+    with-replacement draws — so under vmap each image pays 9 op bodies + 1
+    warp instead of the per-stage switch's compute-all-branches n x 9
+    (``randaugment_v1_fused`` under vmap).
+
+    Law vs the reference (models/randaugment.py:125-144): per-op presence
+    P(op drawn >= once in n) is exact; magnitudes/params/p=0.5 gates draw
+    per op per image as usual; per-image independence is kept (unlike the
+    batch-shared ``randaugment_v1_shared_batch``).  Collapsed: op
+    MULTIPLICITY (an op drawn k>1 times applies once — geometry composes in
+    the matrix regardless, so this only affects repeated photometric draws)
+    and op ORDER (canonical, not drawn; the fused warp already reorders
+    geometry vs photometrics).  Measured numbers in PERF.md."""
+    from ssl_cr_histo_tpu.ops.randaugment import (
+        _v1_blur,
+        _v1_brightness,
+        _v1_color,
+        _v1_contrast,
+        _v1_hsv,
+        _v1_noise,
+    )
+
+    s = img.shape[0]
+    n_ops = 9
+    kop, kmag, kparam = jax.random.split(key, 3)
+    draws = jax.random.randint(kop, (n,), 0, n_ops)
+    mask = jnp.any(draws[:, None] == jnp.arange(n_ops)[None, :], axis=0)
+    v = jax.random.randint(kmag, (n_ops,), 1, m)
+    keys = jax.random.split(kparam, n_ops)
+
+    def photo(i, f):
+        nonlocal img
+        img = jnp.where(mask[i], f(img, v[i], keys[i]), img)
+
+    g = _identity3()
+
+    def geo(i, f):
+        nonlocal img, g
+        img2, mat = f(img, v[i], keys[i], s)
+        img = jnp.where(mask[i], img2, img)
+        g = jnp.where(mask[i], g @ mat, g)
+
+    # canonical order = the pool/branch order of randaugment_v1_fused
+    photo(0, _v1_hsv)
+    photo(1, _v1_noise)
+    geo(2, _ra1_geo_scale_resize_crop)
+    geo(3, _ra1_geo_shift_scale_rotate)
+    photo(4, _v1_color)
+    photo(5, _v1_blur)
+    photo(6, _v1_brightness)
+    photo(7, _v1_contrast)
+    geo(8, _ra1_geo_rotate_crop)
+    return geometry.warp_affine_mxu(img, g, pad_mode="reflect101")
+
+
+def transform_fix_masked(img: jnp.ndarray, key: jax.Array, n: int = 7, m: int = 10):
+    """Weak/strong views with the masked v1 strong pool (per-image)."""
+    kw, ks1, ks2 = jax.random.split(key, 3)
+    weak = jnp.where(jax.random.bernoulli(kw), geometry.flip_horizontal(img), img)
+    strong = jnp.where(jax.random.bernoulli(ks1), geometry.flip_horizontal(img), img)
+    strong = randaugment_v1_masked(strong, ks2, n=n, m=m)
+    return weak, strong
+
+
 def transform_fix_fast_batch(
     key: jax.Array, imgs: jnp.ndarray, n: int = 7, m: int = 10
 ):

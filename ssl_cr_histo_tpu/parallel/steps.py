@@ -123,7 +123,9 @@ def _pretrain_body(
         tiles_u8 = permute_triplets(tiles_u8, labels)
         planar = False
         if augment == "v1":
-            v1_mode = "fused" if aug_mode == "fast" else aug_mode
+            # fast/masked are strong-pool (CR) variants; the pretrain pool's
+            # fast path is the fused single-warp policy
+            v1_mode = "fused" if aug_mode in ("fast", "masked") else aug_mode
             # pallas path: stay channel-planar through the whole aug chain
             # (no relayouts around the kernel); the transpose back to NHWC
             # below is absorbed into the first conv by XLA for free.

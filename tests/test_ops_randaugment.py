@@ -206,3 +206,37 @@ def test_transform_fix_fast_marginal_matches_fused():
     # far beyond these bounds
     assert np.abs(mean_fast - mean_fused).mean() < 0.05
     assert abs(mean_fast.mean() - mean_fused.mean()) < 0.02
+
+
+def test_masked_v1_presence_law_and_smoke():
+    """randaugment_v1_masked: per-op presence must follow the exact
+    with-replacement law P(drawn>=1 of n) = 1-(8/9)^n; the full masked
+    weak/strong batch entry produces valid outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssl_cr_histo_tpu.ops import batch as B
+
+    # presence-mask law (the only new stochastic element), MC at n=7
+    n, n_ops, trials = 7, 9, 4000
+    keys = jax.random.split(jax.random.PRNGKey(0), trials)
+
+    def mask_of(k):
+        draws = jax.random.randint(k, (n,), 0, n_ops)
+        return jnp.any(draws[:, None] == jnp.arange(n_ops)[None, :], axis=0)
+
+    masks = np.asarray(jax.vmap(mask_of)(keys))
+    p_hat = masks.mean(0)
+    p_want = 1.0 - (8.0 / 9.0) ** n  # 0.5614
+    assert np.all(np.abs(p_hat - p_want) < 0.03), p_hat
+
+    imgs = (np.random.default_rng(0).random((4, 32, 32, 3)) * 255).astype(np.uint8)
+    weak, strong = B.transform_fix_batch(
+        jax.random.PRNGKey(1), jnp.asarray(imgs), n=7, m=10, mode="masked"
+    )
+    for out in (weak, strong):
+        out = np.asarray(out)
+        assert out.shape == (4, 32, 32, 3)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+    # strong must differ from weak (augmentation applied)
+    assert not np.allclose(np.asarray(weak), np.asarray(strong))
