@@ -81,6 +81,15 @@ def parse_args(argv=None):
                         "expansion).  Default samples one ordering per "
                         "triplet per step (training-equivalent, 6x fewer "
                         "reads)")
+    p.add_argument("--cache_tiles", action="store_true",
+                   help="cache every read triplet in host RAM across epochs "
+                        "(the reference's all-in-RAM behavior, dataset.py:"
+                        "279-320; ~590 KB per 256^2 position — size your "
+                        "host RAM).  Collapses --expand_orderings' 6x "
+                        "re-reads and all per-epoch re-reads")
+    p.add_argument("--read_workers", type=int, default=0,
+                   help="triplet-read threads per batch (0/1 = serial; "
+                        "workers open their own slide readers)")
     p.add_argument("--index_cache_dir", default="auto",
                    help="persistent slide-index cache ('auto' = "
                         "<train_image_pth>/.rsp_index; '' disables): re-runs "
@@ -103,8 +112,10 @@ def parse_args(argv=None):
                         "per-view BN statistics")
     p.add_argument("--no_joint_encode", dest="joint_encode", action="store_false")
     p.add_argument("--tsne", action="store_true",
-                   help="save a t-SNE plot of validation features at the end "
-                        "(reference pretrain_BreastPathQ.py:322-340)")
+                   help="reference best-epoch artifacts: dump the train "
+                        "epoch's features/targets + t-SNE plot at every new "
+                        "best val (pretrain_BreastPathQ.py:322-340), plus a "
+                        "final t-SNE of validation features")
     add_common_args(p)
     return p.parse_args(argv)
 
@@ -200,6 +211,7 @@ def main(argv=None):
     from ssl_cr_histo_tpu.data.wsi import ReaderCache
 
     readers = ReaderCache(capacity=64)
+    tile_cache = {} if args.cache_tiles else None
     expand = args.expand_orderings
     for epoch in range(start_epoch, args.num_epoch + 1):
         t0 = time.time()
@@ -218,6 +230,7 @@ def main(argv=None):
         batches = sampler.iter_batches(
             train_indices, args.batch_size, seed=args.seed + epoch,
             readers=readers, expand_orderings=expand,
+            tile_cache=tile_cache, read_workers=args.read_workers,
         )
         if args.steps_per_epoch:
             # slice BEFORE prefetching so the worker thread ends with the
@@ -276,7 +289,9 @@ def main(argv=None):
         # the final partial batch is zero-padded with a validity mask.
         val_loss, val_acc = AverageMeter(), AverageMeter()
         vb = sampler.iter_batches(
-            val_positions, args.batch_size, seed=0, drop_last=False, readers=readers
+            val_positions, args.batch_size, seed=0, drop_last=False,
+            readers=readers, tile_cache=tile_cache,
+            read_workers=args.read_workers,
         )
         for tiles, valid in prefetch_to_device(
             pad_batches(vb, args.batch_size), sharding=sharding

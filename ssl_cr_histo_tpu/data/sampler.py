@@ -265,6 +265,8 @@ class RSPTripletSampler:
         drop_last: bool = True,
         readers=None,
         expand_orderings: bool = False,
+        tile_cache=None,
+        read_workers: int = 0,
     ) -> Iterator[np.ndarray]:
         """Shuffle the global work list and yield (B, 3, t, t, 3) uint8
         batches, opening each slide once.
@@ -277,7 +279,18 @@ class RSPTripletSampler:
         appears 6 times per epoch, once per resolution-sequence ordering
         (the reference's eager x6 dataset expansion, dataset.py:27-70),
         shuffled across the epoch; yields (tiles, labels) tuples with the
-        (B,) int32 ordering labels for the step to apply verbatim."""
+        (B,) int32 ordering labels for the step to apply verbatim.
+
+        tile_cache: a dict kept across epochs caches each (path, x, y)
+        triplet in host RAM after its first read — the reference's
+        all-in-RAM behavior (dataset.py:279-320), opt-in here because it
+        costs ~590 KB per 256^2 position.  With --expand_orderings it also
+        collapses the 6x re-reads to one.
+
+        read_workers > 1: read the next batch's triplets on a thread pool;
+        each worker thread opens its OWN readers (PIL TIFF handles are not
+        thread-safe to share), so per-thread reader RAM is duplicated —
+        worth it on multi-core hosts where decode/IO dominates."""
         from ssl_cr_histo_tpu.data.wsi import ReaderCache
 
         if readers is None:
@@ -290,6 +303,27 @@ class RSPTripletSampler:
                 readers[path] = open_slide(path)
             return readers[path]
 
+        import threading
+
+        tl = threading.local()
+
+        def fetch(item) -> np.ndarray:
+            key3 = (item[0], item[1], item[2])
+            if tile_cache is not None:
+                hit = tile_cache.get(key3)
+                if hit is not None:
+                    return hit
+            if read_workers > 1:
+                rc = getattr(tl, "readers", None)
+                if rc is None:
+                    rc = tl.readers = ReaderCache()
+                t = self.read_triplet(rc.get(item[0]), item[1], item[2])
+            else:
+                t = self.read_triplet(get_reader(item[0]), item[1], item[2])
+            if tile_cache is not None:
+                tile_cache[key3] = t
+            return t
+
         work = [
             (idx.slide_path, int(x), int(y))
             for idx in indices
@@ -299,20 +333,25 @@ class RSPTripletSampler:
             work = [(p, x, y, lab) for p, x, y in work for lab in range(6)]
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(work))
-        batch, labels = [], []
-        for i in order:
-            item = work[i]
-            batch.append(self.read_triplet(get_reader(item[0]), item[1], item[2]))
-            if expand_orderings:
-                labels.append(item[3])
-            if len(batch) == batch_size:
-                yield (
-                    (np.stack(batch), np.asarray(labels, np.int32))
-                    if expand_orderings else np.stack(batch)
-                )
-                batch, labels = [], []
-        if batch and not drop_last:
-            yield (
-                (np.stack(batch), np.asarray(labels, np.int32))
-                if expand_orderings else np.stack(batch)
-            )
+        pool = None
+        if read_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=read_workers)
+        try:
+            n = len(order)
+            end = n - (n % batch_size) if drop_last else n
+            for i0 in range(0, end, batch_size):
+                sel = [work[i] for i in order[i0 : i0 + batch_size]]
+                if pool is not None:
+                    tiles = list(pool.map(fetch, sel))
+                else:
+                    tiles = [fetch(item) for item in sel]
+                if expand_orderings:
+                    labels = np.asarray([item[3] for item in sel], np.int32)
+                    yield np.stack(tiles), labels
+                else:
+                    yield np.stack(tiles)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)

@@ -538,3 +538,29 @@ def test_index_directory_cache_and_threads(tmp_path, monkeypatch):
     calls.clear()
     s.index_directory(str(tmp_path), cache_dir=None)
     assert len(calls) == 3
+
+
+def test_iter_batches_tile_cache_and_read_workers(tmp_path):
+    """tile_cache returns identical epochs without re-reading; threaded
+    reads (own readers per worker) yield byte-identical batches."""
+    for i in range(2):
+        np.save(tmp_path / f"s{i}.npy", synthetic_wsi(1024, 1024, seed=i)._levels[0])
+    s = RSPTripletSampler(tile=64, stride=64, geometry="v2", check_mpp=False)
+    indices = s.index_directory(str(tmp_path), cache_dir=None)
+
+    base = list(s.iter_batches(indices, 4, seed=3, drop_last=False))
+    threaded = list(s.iter_batches(indices, 4, seed=3, drop_last=False, read_workers=4))
+    assert len(base) == len(threaded)
+    for a, b in zip(base, threaded):
+        np.testing.assert_array_equal(a, b)
+
+    cache = {}
+    first = list(s.iter_batches(indices, 4, seed=3, drop_last=False, tile_cache=cache))
+    assert len(cache) == sum(len(i.coords) for i in indices)
+    # second epoch: all from cache — poison read_triplet to prove no reads
+    s.read_triplet = None  # type: ignore[assignment]
+    second = list(s.iter_batches(indices, 4, seed=3, drop_last=False, tile_cache=cache))
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(base, first):
+        np.testing.assert_array_equal(a, b)

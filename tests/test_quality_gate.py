@@ -94,6 +94,10 @@ def test_label_efficiency_pretrain_finetune_cr(gate_data):
         "--tile_h", "32", "--tile_w", "32", "--tile_stride", "32",
         "--batch_size", "8", "--num_epoch", "10", "--validation_size", "16",
         "--save_freq", "10", "--steps_per_epoch", "60", "--no_augment",
+        # reference-exact per-view BN: this gate's margins were calibrated
+        # in that regime (the shipped joint-BN default is covered by
+        # test_aug_on_pretrain_gate, which passes with it)
+        "--no_joint_encode",
         "--save_dir", str(s1), "--no-bf16",
     ])
     last = (s1 / "train_results.csv").read_text().strip().splitlines()[-1]
