@@ -102,33 +102,41 @@ def make_camelyon_patches(out_dir, json_dir, n_per_class=300, size=256, seed=1):
 
 
 def make_heatmap_slide(wsi_dir, mask_dir, gt_dir, size=8192, resolution=256, seed=7):
-    """One inference WSI with an embedded tumor region + tissue mask + FROC
-    ground truth on the heatmap grid."""
+    """Two inference WSIs — one with an embedded tumor region (FROC
+    sensitivity) and one all-normal (FROC false-positive branch: no GT file
+    = normal slide) — plus tissue masks and grid-level ground truth."""
     os.makedirs(wsi_dir, exist_ok=True)
     os.makedirs(mask_dir, exist_ok=True)
     os.makedirs(gt_dir, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    level0 = np.full((size, size, 3), 245, np.uint8)
+    g = size // resolution
     m = size // 8
-    level0[m:-m, m:-m] = _tissue_texture(
-        rng, size - 2 * m, size - 2 * m, NORMAL_BASE, nucleus_density=0.0005
-    )
+    mb = m // resolution + 1
+
+    def base_slide(rng):
+        level0 = np.full((size, size, 3), 245, np.uint8)
+        level0[m:-m, m:-m] = _tissue_texture(
+            rng, size - 2 * m, size - 2 * m, NORMAL_BASE, nucleus_density=0.0005
+        )
+        return level0
+
+    mask = np.zeros((g, g), bool)
+    mask[mb : g - mb, mb : g - mb] = True
+
+    rng = np.random.default_rng(seed)
+    level0 = base_slide(rng)
     # tumor island (same signature as the tumor training patches)
     t0, t1 = size // 2, size // 2 + size // 4
     level0[t0:t1, t0:t1] = _tissue_texture(
         rng, t1 - t0, t1 - t0, TUMOR_BASE, nucleus_density=0.002
     )
     np.save(os.path.join(wsi_dir, "t1.npy"), level0)
-
-    g = size // resolution
-    mask = np.zeros((g, g), bool)
-    mb = m // resolution + 1
-    mask[mb : g - mb, mb : g - mb] = True
     np.save(os.path.join(mask_dir, "t1_mask.npy"), mask)
-
     gt = np.zeros((g, g), np.uint8)
     gt[t0 // resolution : t1 // resolution, t0 // resolution : t1 // resolution] = 1
     np.save(os.path.join(gt_dir, "t1.npy"), gt)
+
+    np.save(os.path.join(wsi_dir, "n1.npy"), base_slide(np.random.default_rng(seed + 1)))
+    np.save(os.path.join(mask_dir, "n1_mask.npy"), mask)
     return g
 
 
@@ -267,6 +275,27 @@ def main(argv=None):
     gc.collect()
     print(f"== consistency done ({dt:.0f}s): loss {report['stages']['consistency']['train_loss']}")
 
+    # ---- stage 3b: evaluation mode (reference eval blocks: confusion/
+    # sens/spec/F1 + binary AUC, sharded inference)
+    t0 = time.time()
+    finetune.main([
+        "--task", "camelyon16",
+        "--mode", "evaluation",
+        "--test_path", os.path.join(W, "patches"),
+        "--json_path", os.path.join(W, "jsons"),
+        "--finetune_ckpt", os.path.join(s3, "final"),
+        "--save_dir", s3,
+    ])
+    ev = json.load(open(os.path.join(s3, "camelyon16_eval.json")))
+    report["stages"]["evaluation"] = {
+        "seconds": round(time.time() - t0, 1),
+        "auc": ev.get("auc"),
+        "accuracy": ev.get("accuracy"),
+        "weighted_f1": ev.get("weighted_f1"),
+    }
+    gc.collect()
+    print(f"== evaluation done: auc {ev.get('auc')}")
+
     # ---- stage 4: WSI heatmap inference at 256^2 (test_Camelyon16.py)
     hm_out = os.path.join(W, "probs")
     t0 = time.time()
@@ -278,17 +307,21 @@ def main(argv=None):
     ])
     dt = time.time() - t0
     pm = np.load(os.path.join(hm_out, "t1.npy"))
+    pm_n = np.load(os.path.join(hm_out, "n1.npy"))
     gt = np.load(os.path.join(W, "hm_gt", "t1.npy"))
     tissue = np.load(os.path.join(W, "hm_mask", "t1_mask.npy"))
     tumor_mean = float(pm[gt > 0].mean())
     normal_mean = float(pm[(gt == 0) & tissue].mean())
+    n_patches = 2 * int(tissue.sum())
     report["stages"]["heatmap"] = {
         "seconds": round(dt, 1),
         "grid": list(pm.shape),
-        "patches": int(tissue.sum()),
-        "patches_per_sec_incl_io": round(int(tissue.sum()) / dt, 1),
+        "slides": 2,
+        "patches": n_patches,
+        "patches_per_sec_incl_io": round(n_patches / dt, 1),
         "tumor_region_mean_prob": round(tumor_mean, 4),
         "normal_region_mean_prob": round(normal_mean, 4),
+        "normal_slide_mean_prob": round(float(pm_n[tissue].mean()), 4),
         "artifacts": sorted(os.listdir(hm_out)),
     }
     gc.collect()
