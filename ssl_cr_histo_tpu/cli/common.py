@@ -135,11 +135,14 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
 
 
 def resolve_photometric(args) -> str:
-    """Resolve --photometric 'auto': the Pallas/Mosaic kernel on TPU-class
-    backends, plain XLA on CPU (Mosaic does not lower there).  Called after
-    seed_everything so the backend is already initialized."""
+    """Resolve --photometric 'auto': the Pallas/Mosaic kernel on TPU
+    devices only (Mosaic lowers nowhere else — not CPU, not GPU), plain XLA
+    everywhere else.  Called after seed_everything so the backend is
+    already initialized."""
     if getattr(args, "photometric", "auto") == "auto":
-        args.photometric = "xla" if jax.default_backend() == "cpu" else "pallas"
+        d = jax.devices()[0]
+        is_tpu = d.platform == "tpu" or "TPU" in getattr(d, "device_kind", "")
+        args.photometric = "pallas" if is_tpu else "xla"
     return args.photometric
 
 

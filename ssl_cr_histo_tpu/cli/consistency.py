@@ -83,6 +83,10 @@ def parse_args(argv=None):
     p.add_argument("--ema", type=float, default=0.0,
                    help=">0 enables EMA teacher instead of per-epoch refresh "
                         "(non-reference option; also EMAs BN stats)")
+    p.add_argument("--eval_batch_size", type=int, default=64,
+                   help="inference batch for --mode evaluation; the eval "
+                        "mesh is sized to it, so on a pod pick a multiple "
+                        "of the device count")
     add_common_args(p)
     return p.parse_args(argv)
 
@@ -94,7 +98,10 @@ def main(argv=None):
     # CR stage batch defaults differ from the SSL stage's (reference
     # eval_*_SSL_CR.py --batch_size: BPQ 4 / Camelyon 8 / Kather 8)
     batch_size = args.batch_size or cfg.cr_batch
-    mesh = mesh_for_batch(batch_size)
+    # Camelyon16 ships 2*batch_size labeled rows (batch_size per class) and
+    # 2*batch_size*mu unlabeled — size the mesh to what actually flows
+    step_rows = 2 * batch_size if cfg.name == "camelyon16" else batch_size
+    mesh = mesh_for_batch(step_rows)
     sharding = batch_sharding(mesh)
 
     model = TripletNet(args.model, dtype=model_dtype(args), remat=args.remat)
@@ -114,7 +121,8 @@ def main(argv=None):
             model, head, tmp_tx, key, image_size=cfg.image_size, triplet=False
         )
         state, _ = restore_checkpoint(ckpt, state)
-        evaluate(args, cfg, state, S.make_forward_fn(model, head))
+        evaluate(args, cfg, state, S.make_forward_fn(model, head),
+                 eval_batch_size=args.eval_batch_size)
         return
 
     if not args.train_path or not args.finetune_ckpt:
@@ -186,6 +194,11 @@ def main(argv=None):
         # final), so any resume point can restore it.
         rdir, rbase = os.path.split(os.path.normpath(resume_path))
         teacher_path = os.path.join(rdir, f"teacher_{rbase}")
+        if not os.path.isdir(teacher_path) and rbase == "final":
+            # runs saved before round 3 named it final_teacher
+            legacy = os.path.join(rdir, "final_teacher")
+            if os.path.isdir(legacy):
+                teacher_path = legacy
         if args.ema > 0 and os.path.isdir(teacher_path):
             tstate, _ = restore_checkpoint(teacher_path, state, restore_opt=False)
             teacher_params, teacher_stats = tstate.params, tstate.batch_stats
@@ -267,7 +280,7 @@ def main(argv=None):
         if args.ema == 0:
             teacher_params, teacher_stats = S.refresh_teacher(state)
 
-        val_metric = validate(cfg, state, val, val_forward, batch_size,
+        val_metric = validate(cfg, state, val, val_forward, step_rows,
                               sharding=sharding)
         log.append(epoch, tl.avg, sl.avg, cl.avg, val_metric)
         print(

@@ -73,6 +73,10 @@ def parse_args(argv=None):
                         "eval_Kather_SSL.py:427-442)")
     p.add_argument("--save_freq", type=int, default=30,
                    help="epochs between periodic ckpt_N checkpoints (0 = off)")
+    p.add_argument("--eval_batch_size", type=int, default=64,
+                   help="inference batch for --mode evaluation; the eval "
+                        "mesh is sized to it, so on a pod pick a multiple "
+                        "of the device count")
     add_common_args(p)
     return p.parse_args(argv)
 
@@ -106,7 +110,10 @@ def main(argv=None):
     cfg = apply_task_overrides(args, TASKS[args.task])
     key = seed_everything(args.seed)
     batch_size = args.batch_size or cfg.batch_size
-    mesh = mesh_for_batch(batch_size)
+    # Camelyon16 ships 2*batch_size rows per step (batch_size PER CLASS from
+    # the balanced iterator) — size the mesh to what actually flows
+    step_rows = 2 * batch_size if cfg.name == "camelyon16" else batch_size
+    mesh = mesh_for_batch(step_rows)
     sharding = batch_sharding(mesh)
 
     model, head, state = build_state(args, cfg, key)
@@ -116,7 +123,7 @@ def main(argv=None):
             raise SystemExit("--finetune_ckpt required for evaluation")
         state, _ = restore_checkpoint(args.finetune_ckpt, state)
         forward = S.make_forward_fn(model, head)
-        evaluate(args, cfg, state, forward)
+        evaluate(args, cfg, state, forward, eval_batch_size=args.eval_batch_size)
         return
 
     train, val = load_train_data(args, cfg)
@@ -200,7 +207,7 @@ def main(argv=None):
                 tl.update(float(m["loss"]), len(labels))
 
         # validation
-        val_metric = validate(cfg, state, val, val_forward, batch_size,
+        val_metric = validate(cfg, state, val, val_forward, step_rows,
                               sharding=sharding)
         log.append(epoch, tl.avg, val_metric)
         print(

@@ -322,7 +322,7 @@ def main(argv=None):
                 save_tsne_plot(
                     f, t, os.path.join(args.save_dir, f"best_tsne_feats_{epoch}.png")
                 )
-        if epoch % args.save_freq == 0:
+        if args.save_freq and epoch % args.save_freq == 0:
             # best_val rides periodic metas so resume restores the tracker
             meta["best_val"] = best.best_value
             save_checkpoint(os.path.join(args.save_dir, f"ckpt_{epoch}"), state, meta)

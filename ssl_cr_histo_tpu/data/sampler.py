@@ -139,7 +139,7 @@ class RSPTripletSampler:
             str(v) for v in (
                 os.path.abspath(path), st.st_mtime_ns, st.st_size,
                 self.tile, self.stride, self.geometry, self.lwst_level_idx,
-                self.check_mpp,
+                self.check_mpp, self.lr2, self.lr1, self.hr,
             )
         )
         return hashlib.sha1(payload.encode()).hexdigest()
@@ -184,10 +184,15 @@ class RSPTripletSampler:
                     pass
                 os.remove(probe)
             except OSError:
-                cache_dir = os.path.join(
-                    os.path.expanduser("~/.cache/ssl_cr_histo_tpu/rsp_index")
-                )
-                os.makedirs(cache_dir, exist_ok=True)
+                # the cache is a best-effort optimization — if the fallback
+                # location is unwritable too, run without it
+                try:
+                    cache_dir = os.path.expanduser(
+                        "~/.cache/ssl_cr_histo_tpu/rsp_index"
+                    )
+                    os.makedirs(cache_dir, exist_ok=True)
+                except OSError:
+                    cache_dir = None
 
         def one(p: str) -> TripletIndex:
             cpath = (
@@ -306,6 +311,8 @@ class RSPTripletSampler:
         import threading
 
         tl = threading.local()
+        worker_caches: list = []
+        worker_caches_lock = threading.Lock()
 
         def fetch(item) -> np.ndarray:
             key3 = (item[0], item[1], item[2])
@@ -317,6 +324,8 @@ class RSPTripletSampler:
                 rc = getattr(tl, "readers", None)
                 if rc is None:
                     rc = tl.readers = ReaderCache()
+                    with worker_caches_lock:
+                        worker_caches.append(rc)
                 t = self.read_triplet(rc.get(item[0]), item[1], item[2])
             else:
                 t = self.read_triplet(get_reader(item[0]), item[1], item[2])
@@ -354,4 +363,8 @@ class RSPTripletSampler:
                     yield np.stack(tiles)
         finally:
             if pool is not None:
-                pool.shutdown(wait=False)
+                # wait, then close the per-thread readers — shutdown alone
+                # would strand their open slide handles until thread GC
+                pool.shutdown(wait=True)
+                for rc in worker_caches:
+                    rc.close()
