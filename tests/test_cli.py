@@ -793,3 +793,47 @@ def test_sharded_eval_matches_unsharded():
                           sharding=sharding)
     assert p_plain.shape == (21, 2)
     np.testing.assert_allclose(p_shard, p_plain, rtol=1e-4, atol=1e-5)
+
+
+def test_consistency_ema_teacher_persistence(kather_dirs, tmp_path, capsys):
+    """--ema: the teacher persists beside best/final (teacher_best,
+    teacher_final) and restores from any resume point, including the
+    pre-round-3 legacy 'final_teacher' name."""
+    from ssl_cr_histo_tpu.cli import consistency, finetune
+
+    ft = tmp_path / "ft"
+    finetune.main([
+        "--task", "kather",
+        "--train_path", str(kather_dirs / "train"),
+        "--num_epoch", "1",
+        "--batch_size", "8",
+        "--validation_split", "0.25",
+        "--save_dir", str(ft),
+        "--no-bf16",
+    ])
+    cr = tmp_path / "cr"
+    base = [
+        "--task", "kather",
+        "--train_path", str(kather_dirs / "train"),
+        "--finetune_ckpt", str(ft / "final"),
+        "--batch_size", "4",
+        "--mu", "2",
+        "--NAug", "2",
+        "--labeled_train", "0.5",
+        "--validation_split", "0.25",
+        "--ema", "0.9",
+        "--save_freq", "1",
+        "--multi_step", "1",
+        "--save_dir", str(cr),
+        "--no-bf16",
+    ]
+    consistency.main(base + ["--num_epoch", "1"])
+    for d in ("teacher_best", "teacher_ckpt_1", "teacher_final"):
+        assert (cr / d / "checkpoint.msgpack").exists(), d
+
+    # legacy name fallback: pre-round-3 runs wrote final_teacher
+    (cr / "teacher_final").rename(cr / "final_teacher")
+    capsys.readouterr()
+    consistency.main(base + ["--num_epoch", "2", "--resume", str(cr / "final")])
+    out = capsys.readouterr().out
+    assert "no teacher checkpoint" not in out, "legacy final_teacher not found"
