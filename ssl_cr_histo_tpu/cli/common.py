@@ -36,6 +36,14 @@ class TaskConfig:
     def cr_batch(self) -> int:
         return self.cr_batch_size or self.batch_size
 
+    def rows_per_step(self, batch_size: int) -> int:
+        """Rows that actually flow through a train step at this batch
+        setting: Camelyon16's balanced iterator draws `batch_size` PER
+        CLASS (data.pipeline.balanced_batch_iterator), so 2x flows; other
+        tasks ship batch_size.  Meshes and validation padding must be
+        sized from THIS, not the flag value."""
+        return 2 * batch_size if self.name == "camelyon16" else batch_size
+
 
 TASKS = {
     # eval_BreastPathQ_SSL.py:234-241: Adam 1e-4, batch 4, MSE head
@@ -165,15 +173,17 @@ def device_mesh(model_parallel: int = 1):
     return make_mesh(model_parallel=model_parallel)
 
 
-def balanced_epoch_len(labels, batch_size: int) -> int:
+def balanced_epoch_len(labels, batch_size: int, clamp: bool = True) -> int:
     """Steps per epoch of the balanced binary iterator: the smaller class's
     per-class batch count (data.pipeline.balanced_batch_iterator draws
     `batch_size` from EACH class per step) — the epoch length LR milestones
-    must be computed from for Camelyon16."""
+    must be computed from for Camelyon16.  clamp=False returns the true
+    count (possibly 0) for empty-epoch detection."""
     import numpy as np
 
     counts = np.bincount(np.asarray(labels, dtype=np.int64))
-    return max(int(counts.min()) // max(batch_size, 1), 1)
+    n = int(counts.min()) // max(batch_size, 1)
+    return max(n, 1) if clamp else n
 
 
 def resume_training(args, state, best, key):

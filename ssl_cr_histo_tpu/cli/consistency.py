@@ -98,9 +98,9 @@ def main(argv=None):
     # CR stage batch defaults differ from the SSL stage's (reference
     # eval_*_SSL_CR.py --batch_size: BPQ 4 / Camelyon 8 / Kather 8)
     batch_size = args.batch_size or cfg.cr_batch
-    # Camelyon16 ships 2*batch_size labeled rows (batch_size per class) and
-    # 2*batch_size*mu unlabeled — size the mesh to what actually flows
-    step_rows = 2 * batch_size if cfg.name == "camelyon16" else batch_size
+    # (Camelyon16 additionally ships step_rows*mu unlabeled — divisible by
+    # anything that divides step_rows)
+    step_rows = cfg.rows_per_step(batch_size)
     mesh = mesh_for_batch(step_rows)
     sharding = batch_sharding(mesh)
 
@@ -149,12 +149,23 @@ def main(argv=None):
     # with per-class batch sizes B and B*mu (eval_Camelyon_SSL_CR.py:53-101,
     # :330-356) — so both its iterators here are the balanced per-class ones.
     if cfg.name == "camelyon16":
-        n_labeled_batches = balanced_epoch_len(labeled.labels, batch_size)
-        n_unlabeled_batches = balanced_epoch_len(train.labels, batch_size * args.mu)
+        n_labeled_batches = balanced_epoch_len(labeled.labels, batch_size, clamp=False)
+        n_unlabeled_batches = balanced_epoch_len(
+            train.labels, batch_size * args.mu, clamp=False
+        )
     else:
         n_labeled_batches = len(labeled) // batch_size
         n_unlabeled_batches = len(train) // (batch_size * args.mu)
-    n_steps = max(min(n_labeled_batches, n_unlabeled_batches), 1)
+    if min(n_labeled_batches, n_unlabeled_batches) == 0:
+        # an empty zip would "train" 0 steps per epoch while validation and
+        # checkpointing carry on — fail loudly instead
+        raise SystemExit(
+            f"zero steps per epoch: {n_labeled_batches} labeled batches "
+            f"(batch {batch_size}{'/class' if cfg.name == 'camelyon16' else ''}) "
+            f"vs {n_unlabeled_batches} unlabeled batches (batch "
+            f"{batch_size}*mu{args.mu}) — reduce --batch_size/--mu or add data"
+        )
+    n_steps = min(n_labeled_batches, n_unlabeled_batches)
     sched = optim.multistep_schedule(lr, [m * n_steps for m in cfg.milestones], cfg.gamma)
     base_tx = make_optimizer(cfg.optimizer, sched, args.weight_decay)
 
@@ -177,6 +188,12 @@ def main(argv=None):
         data_groups=data_groups, multi=args.multi_step > 1, ema=args.ema,
     )
     val_forward = S.make_forward_fn(model, head)
+    # per-epoch validation runs at inference batch size, on the SAME device
+    # set as the train mesh (the state lives there; a differently-sized
+    # device set would make jit reject the mixed placement)
+    eval_sharding = batch_sharding(
+        mesh_for_batch(args.eval_batch_size, devices=list(mesh.devices.flat))
+    )
 
     os.makedirs(args.save_dir, exist_ok=True)
     log = CsvLogger(
@@ -280,8 +297,8 @@ def main(argv=None):
         if args.ema == 0:
             teacher_params, teacher_stats = S.refresh_teacher(state)
 
-        val_metric = validate(cfg, state, val, val_forward, step_rows,
-                              sharding=sharding)
+        val_metric = validate(cfg, state, val, val_forward,
+                              args.eval_batch_size, sharding=eval_sharding)
         log.append(epoch, tl.avg, sl.avg, cl.avg, val_metric)
         print(
             f"epoch {epoch}: loss {tl.avg:.4f} (sup {sl.avg:.4f} cons {cl.avg:.4f}) "

@@ -74,9 +74,9 @@ def parse_args(argv=None):
     p.add_argument("--save_freq", type=int, default=30,
                    help="epochs between periodic ckpt_N checkpoints (0 = off)")
     p.add_argument("--eval_batch_size", type=int, default=64,
-                   help="inference batch for --mode evaluation; the eval "
-                        "mesh is sized to it, so on a pod pick a multiple "
-                        "of the device count")
+                   help="inference batch for per-epoch validation and "
+                        "--mode evaluation; the eval mesh is sized to it, "
+                        "so on a pod pick a multiple of the device count")
     add_common_args(p)
     return p.parse_args(argv)
 
@@ -110,9 +110,7 @@ def main(argv=None):
     cfg = apply_task_overrides(args, TASKS[args.task])
     key = seed_everything(args.seed)
     batch_size = args.batch_size or cfg.batch_size
-    # Camelyon16 ships 2*batch_size rows per step (batch_size PER CLASS from
-    # the balanced iterator) — size the mesh to what actually flows
-    step_rows = 2 * batch_size if cfg.name == "camelyon16" else batch_size
+    step_rows = cfg.rows_per_step(batch_size)
     mesh = mesh_for_batch(step_rows)
     sharding = batch_sharding(mesh)
 
@@ -166,6 +164,12 @@ def main(argv=None):
         model, head, tx, task=cfg.task, multi=args.multi_step > 1
     )
     val_forward = S.make_forward_fn(model, head)
+    # per-epoch validation runs at inference batch size, on the SAME device
+    # set as the train mesh (the state lives there; a differently-sized
+    # device set would make jit reject the mixed placement)
+    eval_sharding = batch_sharding(
+        mesh_for_batch(args.eval_batch_size, devices=list(mesh.devices.flat))
+    )
 
     os.makedirs(args.save_dir, exist_ok=True)
     log = CsvLogger(
@@ -207,8 +211,8 @@ def main(argv=None):
                 tl.update(float(m["loss"]), len(labels))
 
         # validation
-        val_metric = validate(cfg, state, val, val_forward, step_rows,
-                              sharding=sharding)
+        val_metric = validate(cfg, state, val, val_forward,
+                              args.eval_batch_size, sharding=eval_sharding)
         log.append(epoch, tl.avg, val_metric)
         print(
             f"epoch {epoch}: train_loss {tl.avg:.4f} val "

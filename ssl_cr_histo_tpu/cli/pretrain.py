@@ -126,6 +126,10 @@ def main(argv=None):
         # the common --image_size override maps onto the tile geometry here
         # (pretraining has no TaskConfig; tiles ARE the input resolution)
         args.tile_h = args.tile_w = args.image_size
+    if args.tile_h != args.tile_w:
+        # the sampler/models use one square tile size; the reference also
+        # only ever runs square tiles — reject rather than silently using h
+        raise SystemExit("non-square tiles are not supported (tile_h != tile_w)")
     key = seed_everything(args.seed)
     resolve_photometric(args)
     mesh = mesh_for_batch(args.batch_size)
@@ -302,7 +306,10 @@ def main(argv=None):
                 val_loss.update(float(m["loss_sum"]) / n, n)
                 val_acc.update(float(m["correct"]) / n, n)
 
-        log.append(epoch + 1, train_loss.avg, train_acc.avg, val_loss.avg, val_acc.avg)
+        # the reference CSV writes epoch+1 while naming checkpoints by epoch
+        # (pretrain_BreastPathQ.py:290 vs :307) — defect not replicated: the
+        # CSV epoch column matches ckpt_N and meta['epoch'] here
+        log.append(epoch, train_loss.avg, train_acc.avg, val_loss.avg, val_acc.avg)
         state = lookahead_epoch(state, args.la_steps, args.la_alpha)
 
         meta = {"epoch": epoch, "args": vars(args), "train_loss": train_loss.avg,

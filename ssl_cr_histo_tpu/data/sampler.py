@@ -204,12 +204,22 @@ class RSPTripletSampler:
                     return TripletIndex(p, z["coords"])
             idx = self.index_slide(open_slide(p), p)
             if cpath:
+                # best-effort write: a full disk or revoked permission must
+                # not abort an hours-long cold scan
                 import tempfile
 
-                fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".npz")
-                with os.fdopen(fd, "wb") as f:
-                    np.savez(f, coords=idx.coords)
-                os.replace(tmp, cpath)
+                tmp = None
+                try:
+                    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".npz")
+                    with os.fdopen(fd, "wb") as f:
+                        np.savez(f, coords=idx.coords)
+                    os.replace(tmp, cpath)
+                except OSError:
+                    if tmp is not None and os.path.exists(tmp):
+                        try:
+                            os.remove(tmp)
+                        except OSError:
+                            pass
             return idx
 
         n_workers = n_workers or min(8, os.cpu_count() or 1)
