@@ -287,13 +287,18 @@ def randaugment_v1_fused(img: jnp.ndarray, key: jax.Array, n: int, m: int) -> jn
     return geometry.warp_affine_mxu(img, g, pad_mode="reflect101")
 
 
-def transform_fix_fused(img: jnp.ndarray, key: jax.Array, n: int = 7, m: int = 10):
-    """Fused weak/strong views (reference dataset.py:663-677)."""
+def _transform_fix(img, key, strong_fn, n, m):
+    """Shared weak/strong scaffolding (reference dataset.py:663-677):
+    weak = p=0.5 hflip; strong = p=0.5 hflip -> `strong_fn` pool."""
     kw, ks1, ks2 = jax.random.split(key, 3)
     weak = jnp.where(jax.random.bernoulli(kw), geometry.flip_horizontal(img), img)
     strong = jnp.where(jax.random.bernoulli(ks1), geometry.flip_horizontal(img), img)
-    strong = randaugment_v1_fused(strong, ks2, n=n, m=m)
-    return weak, strong
+    return weak, strong_fn(strong, ks2, n=n, m=m)
+
+
+def transform_fix_fused(img: jnp.ndarray, key: jax.Array, n: int = 7, m: int = 10):
+    """Fused weak/strong views (reference dataset.py:663-677)."""
+    return _transform_fix(img, key, randaugment_v1_fused, n, m)
 
 
 def randaugment_v1_shared_batch(
@@ -388,9 +393,10 @@ def randaugment_v1_masked(img: jnp.ndarray, key: jax.Array, n: int, m: int) -> j
     P(op drawn >= once in n) is exact; magnitudes/params/p=0.5 gates draw
     per op per image as usual; per-image independence is kept (unlike the
     batch-shared ``randaugment_v1_shared_batch``).  Collapsed: op
-    MULTIPLICITY (an op drawn k>1 times applies once — geometry composes in
-    the matrix regardless, so this only affects repeated photometric draws)
-    and op ORDER (canonical, not drawn; the fused warp already reorders
+    MULTIPLICITY — an op drawn k>1 times applies once, for photometric AND
+    geometric ops alike (the fused variant would compose k independently-
+    parameterized matrices; here each geometric op contributes at most one)
+    — and op ORDER (canonical, not drawn; the fused warp already reorders
     geometry vs photometrics).  Measured numbers in PERF.md."""
     from ssl_cr_histo_tpu.ops.randaugment import (
         _v1_blur,
@@ -436,11 +442,7 @@ def randaugment_v1_masked(img: jnp.ndarray, key: jax.Array, n: int, m: int) -> j
 
 def transform_fix_masked(img: jnp.ndarray, key: jax.Array, n: int = 7, m: int = 10):
     """Weak/strong views with the masked v1 strong pool (per-image)."""
-    kw, ks1, ks2 = jax.random.split(key, 3)
-    weak = jnp.where(jax.random.bernoulli(kw), geometry.flip_horizontal(img), img)
-    strong = jnp.where(jax.random.bernoulli(ks1), geometry.flip_horizontal(img), img)
-    strong = randaugment_v1_masked(strong, ks2, n=n, m=m)
-    return weak, strong
+    return _transform_fix(img, key, randaugment_v1_masked, n, m)
 
 
 def transform_fix_fast_batch(

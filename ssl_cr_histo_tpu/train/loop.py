@@ -107,6 +107,11 @@ class BestTracker:
         self.best = value if self.mode == "min" else -value
 
     def update(self, value: float, epoch: int, state: TrainState, meta: dict) -> bool:
+        if not np.isfinite(value):
+            # a diverged (NaN/inf) metric must never overwrite best/ — NaN
+            # compares False to everything, so the `v >= best` guard alone
+            # would admit it AND poison every later comparison
+            return False
         v = value if self.mode == "min" else -value
         if epoch <= self.gate_epoch or v >= self.best:
             return False

@@ -76,3 +76,22 @@ def test_radam_runs():
     st = tx.init(p)
     up, _ = tx.update(jnp.array([0.5]), st, p)
     assert np.isfinite(np.asarray(up)).all()
+
+
+def test_best_tracker_rejects_nan(tmp_path, monkeypatch):
+    """A diverged (NaN) validation metric must never overwrite best/ nor
+    poison later comparisons (NaN compares False to everything)."""
+    import math
+
+    from ssl_cr_histo_tpu.train import loop as L
+
+    saved = []
+    monkeypatch.setattr(L, "save_checkpoint", lambda p, s, m: saved.append(m))
+    bt = L.BestTracker(str(tmp_path), mode="min")
+    assert not bt.update(float("nan"), 1, None, {})
+    assert bt.best_value is None
+    assert bt.update(0.4, 2, None, {})
+    assert not bt.update(float("nan"), 3, None, {})
+    assert not bt.update(0.55, 4, None, {})  # worse than 0.4 stays rejected
+    assert bt.best_value == 0.4 and len(saved) == 1
+    assert math.isfinite(saved[0]["best_val"])
