@@ -837,3 +837,51 @@ def test_consistency_ema_teacher_persistence(kather_dirs, tmp_path, capsys):
     consistency.main(base + ["--num_epoch", "2", "--resume", str(cr / "final")])
     out = capsys.readouterr().out
     assert "no teacher checkpoint" not in out, "legacy final_teacher not found"
+
+
+def test_consistency_cli_masked_mode_and_eval_batch(kather_dirs, tmp_path):
+    """--aug_mode masked through the CR CLI, and a non-default
+    --eval_batch_size through the evaluation path."""
+    from ssl_cr_histo_tpu.cli import consistency, finetune
+
+    ft = tmp_path / "ft"
+    finetune.main([
+        "--task", "kather",
+        "--train_path", str(kather_dirs / "train"),
+        "--num_epoch", "1",
+        "--batch_size", "8",
+        "--validation_split", "0.25",
+        "--save_dir", str(ft),
+        "--no-bf16",
+    ])
+    cr = tmp_path / "cr"
+    consistency.main([
+        "--task", "kather",
+        "--train_path", str(kather_dirs / "train"),
+        "--finetune_ckpt", str(ft / "final"),
+        "--num_epoch", "1",
+        "--batch_size", "4",
+        "--mu", "2",
+        "--NAug", "2",
+        "--labeled_train", "0.5",
+        "--validation_split", "0.25",
+        "--aug_mode", "masked",
+        "--multi_step", "1",
+        "--save_dir", str(cr),
+        "--no-bf16",
+    ])
+    lines = (cr / "consistency_results.csv").read_text().strip().splitlines()
+    assert len(lines) == 2
+    assert all(np.isfinite([float(v) for v in lines[1].split(",")[1:]]))
+
+    finetune.main([
+        "--task", "kather",
+        "--mode", "evaluation",
+        "--test_path", str(kather_dirs / "test"),
+        "--finetune_ckpt", str(cr / "final"),
+        "--eval_batch_size", "16",
+        "--save_dir", str(cr),
+        "--no-bf16",
+    ])
+    report = json.loads((cr / "kather_eval.json").read_text())
+    assert "weighted_f1" in report
