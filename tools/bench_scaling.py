@@ -52,24 +52,49 @@ def measure(model_name: str, batch_size: int, k_steps: int = 4, iters: int = 3,
     }
 
 
+CONFIGS = (
+    ("resnet18", 64),
+    ("resnet18", 128),
+    ("resnet18", 256),
+    ("resnet50", 64),
+    ("resnet50", 128),
+)
+
+
 def main():
-    for model_name, batch in (
-        ("resnet18", 64),
-        ("resnet18", 128),
-        ("resnet18", 256),
-        ("resnet50", 64),
-        ("resnet50", 128),
-    ):
-        try:
-            r = measure(model_name, batch)
-        except Exception as e:  # OOM etc: report and continue
-            print(f"{model_name} b={batch}: FAILED ({type(e).__name__}: {e})")
-            continue
-        print(
-            f"{r['model']} b={r['batch']}: {r['ms_per_step']} ms/step, "
-            f"{r['patches_per_sec']:.0f} patches/s/chip"
+    # Each config runs in a FRESH subprocess: once a process OOMs the axon
+    # device, every later allocation in it fails (CLAUDE.md) — continuing
+    # in-process after one OOM would report bogus FAILED rows for configs
+    # that actually fit.
+    import os
+    import subprocess
+    import sys
+
+    for model_name, batch in CONFIGS:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", model_name, str(batch)],
+            capture_output=True, text=True,
         )
+        line = (p.stdout.strip().splitlines() or [""])[-1]
+        if p.returncode != 0:
+            err = (p.stderr.strip().splitlines() or ["?"])[-1]
+            print(f"{model_name} b={batch}: FAILED ({err})")
+        else:
+            print(line)
+
+
+def one(model_name: str, batch: int) -> None:
+    r = measure(model_name, batch)
+    print(
+        f"{r['model']} b={r['batch']}: {r['ms_per_step']} ms/step, "
+        f"{r['patches_per_sec']:.0f} patches/s/chip"
+    )
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) == 4 and sys.argv[1] == "--one":
+        one(sys.argv[2], int(sys.argv[3]))
+    else:
+        main()

@@ -1,18 +1,28 @@
 """Persistent TPU job worker: holds the TPU claim once, polls /tmp/tpu_jobs
 for NNN.py files, execs each in-process, writes NNN.out (stdout+stderr+
-traceback) and NNN.done.  Shared globals persist across jobs (G dict)."""
+traceback) and NNN.done.  Shared globals persist across jobs (G dict).
+
+Writes its pid to /tmp/tpu_worker.pid (kill by pidfile, never by pgrep —
+CLAUDE.md).  Stop cleanly with `touch /tmp/tpu_jobs/STOP`; the sentinel is
+consumed on exit so the next launch starts fresh."""
 import os, sys, time, traceback, io, contextlib
 sys.path.insert(0, '/root/repo')
+JOBS = "/tmp/tpu_jobs"
+os.makedirs(JOBS, exist_ok=True)
+with open("/tmp/tpu_worker.pid", "w") as f:
+    f.write(str(os.getpid()))
 import jax, jax.numpy as jnp, numpy as np
 print("worker up, devices:", jax.devices(), flush=True)
 # warm the device
 _ = float(jnp.zeros(()).sum())
 print("device warm", flush=True)
-G = {"jax": jax, "jnp": jnp, "np": np}
-JOBS = "/tmp/tpu_jobs"
+# __name__ = "__main__" so job files with a main-guard actually run
+G = {"__name__": "__main__", "jax": jax, "jnp": jnp, "np": np}
 seen = set()
 while True:
-    if os.path.exists(os.path.join(JOBS, "STOP")):
+    stop = os.path.join(JOBS, "STOP")
+    if os.path.exists(stop):
+        os.remove(stop)  # consume, so the next worker launch isn't stillborn
         print("stop requested; exiting cleanly", flush=True)
         break
     for name in sorted(os.listdir(JOBS)):
