@@ -1,0 +1,64 @@
+"""The rehearsal tool's synthetic datasets must satisfy the real loaders'
+data contracts (tools/rehearsal.py generators vs data/datasets.py readers).
+The chip-side rehearsal itself runs out-of-suite (REHEARSAL*.json); these
+keep its host-side data layer honest on CPU."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from ssl_cr_histo_tpu.data import datasets as D
+
+import rehearsal as R  # noqa: E402  (tools/ path injected above)
+
+
+def test_breastpathq_h5_contract(tmp_path):
+    train = str(tmp_path / "train")
+    eval_a = str(tmp_path / "a")
+    eval_b = str(tmp_path / "b")
+    R.make_breastpathq_h5(train, eval_a, eval_b, n_train=8, n_eval=4, size=32)
+
+    ds = D.load_breastpathq_h5(train, image_size=32)
+    assert ds.images.shape == (8, 32, 32, 3) and ds.images.dtype == np.uint8
+    assert ds.labels.shape == (8,) and ds.labels.dtype == np.float32
+    assert (ds.labels >= 0).all() and (ds.labels <= 1).all()
+
+    a, labels_b = D.load_breastpathq_eval_pair(eval_a, eval_b, image_size=32)
+    assert len(a) == 4 and labels_b.shape == (4,)
+    # same patches, two raters: labels differ by observer noise only
+    assert not np.array_equal(a.labels, labels_b)
+    assert np.abs(a.labels - labels_b).max() < 0.3
+
+    # the learnable signal: higher cellularity -> more dark nuclei -> darker
+    # patch (what the regression head has to pick up)
+    means = ds.images.reshape(len(ds), -1).mean(axis=1)
+    hi, lo = ds.labels > 0.66, ds.labels < 0.33
+    if hi.any() and lo.any():
+        assert means[hi].mean() < means[lo].mean()
+
+
+def test_kather_folder_contract(tmp_path):
+    out = str(tmp_path / "kather")
+    R.make_kather_folder(out, n_per_class=2, size=32)
+    ds = D.load_kather_folder(out, image_size=32)
+    assert len(ds) == 18
+    assert sorted(np.bincount(ds.labels).tolist()) == [2] * 9
+    assert ds.images.shape == (18, 32, 32, 3)
+    # class palettes must be separable for the rehearsal to show learning:
+    # per-class mean colors pairwise distinct
+    centers = np.stack([
+        ds.images[ds.labels == c].reshape(-1, 3).mean(axis=0) for c in range(9)
+    ])
+    d2 = ((centers[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    off_diag = d2[~np.eye(9, dtype=bool)]
+    assert off_diag.min() > 100.0  # >10 gray-levels apart in RGB
+
+
+@pytest.mark.parametrize("recipe", ["camelyon16", "breastpathq", "kather"])
+def test_recipe_table(recipe):
+    run, out, ft, cr = R.RECIPES[recipe]
+    assert callable(run) and out.endswith(".json") and ft > 0 and cr > 0

@@ -1,14 +1,22 @@
 """Production-shape rehearsal: the WHOLE product at the reference configs of
 record, on the real TPU, in one command.
 
-Runs pretrain -> fine-tune -> consistency -> heatmap -> FROC on synthetic
-H&E-like data at the reference shapes (256x256 tiles/patches, pretrain batch
-64, Camelyon16 fine-tune batch 16/class, CR batch 8 + mu=7) — the complete
-recipe of reference README.md:57-62 plus test_Camelyon16.py — and emits ONE
-JSON (default REHEARSAL.json) with per-stage metrics, throughput, and
-artifact paths.
+Three recipes, one per task of record (--recipe):
 
-    python tools/rehearsal.py --workdir /tmp/rehearsal --out REHEARSAL.json
+  camelyon16 (default) — pretrain -> fine-tune (16/class) -> consistency
+      (8/class + mu=7) -> heatmap -> FROC, the complete recipe of reference
+      README.md:57-62 plus test_Camelyon16.py.  Emits REHEARSAL.json.
+  breastpathq — pretrain -> regression fine-tune (batch 4, Adam 1e-4, MSE)
+      -> MSE-consistency CR (batch 4 + mu=7) -> two-rater ICC/tau evaluation
+      (eval_BreastPathQ_SSL{,_CR}.py).  Emits REHEARSAL_BREASTPATHQ.json.
+  kather — 9-class fine-tune (batch 64, Adam 1e-5) -> hard-pseudo-label CR
+      (batch 8 + mu=7) -> confusion/F1/OVR-AUC evaluation
+      (eval_Kather_SSL{,_CR}.py).  Per reference semantics the backbone
+      transfers from a Camelyon16 pretraining (eval_Kather_SSL.py:242-243) —
+      pass --stage1_ckpt from a camelyon16 rehearsal, else one is trained.
+      Emits REHEARSAL_KATHER.json.
+
+    python tools/rehearsal.py --workdir /tmp/rehearsal [--recipe kather ...]
 
 Scaled-down knobs (--pretrain_epochs etc.) bound wall time; shapes and batch
 semantics are never scaled down.  The unit/CLI test suite proves correctness
@@ -140,6 +148,68 @@ def make_heatmap_slide(wsi_dir, mask_dir, gt_dir, size=8192, resolution=256, see
     return g
 
 
+def _cellularity_patch(rng, score, size):
+    """BreastPathQ-like patch whose learnable signal IS the label: nucleus
+    density scales with the cellularity score in [0, 1] (the task the
+    reference regresses, eval_BreastPathQ_SSL.py)."""
+    return _tissue_texture(
+        rng, size, size, NORMAL_BASE, nucleus_density=0.004 * float(score)
+    )
+
+
+def make_breastpathq_h5(train_dir, eval_a_dir, eval_b_dir,
+                        n_train=240, n_eval=64, size=256, seed=3):
+    """Reference .h5 contract (dataset.py:453-536): data['x'] float CHW in
+    [0, 1], data['y'] cellularity scores.  The two eval dirs hold the SAME
+    patches scored by two raters (TestSetSherine/TestSetSharon layout,
+    dataset.py:539-599): rater B = rater A + observer noise."""
+    import h5py
+
+    rng = np.random.default_rng(seed)
+
+    def write(path, imgs, ys):
+        with h5py.File(path, "w") as f:
+            x = np.stack(imgs).astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+            f.create_dataset("x", data=x)
+            f.create_dataset("y", data=np.asarray(ys, np.float32))
+
+    for d in (train_dir, eval_a_dir, eval_b_dir):
+        os.makedirs(d, exist_ok=True)
+    y_train = rng.uniform(0.0, 1.0, n_train)
+    write(os.path.join(train_dir, "train.h5"),
+          [_cellularity_patch(rng, y, size) for y in y_train], y_train)
+    y_a = rng.uniform(0.0, 1.0, n_eval)
+    eval_imgs = [_cellularity_patch(rng, y, size) for y in y_a]
+    y_b = np.clip(y_a + rng.normal(0.0, 0.05, n_eval), 0.0, 1.0)
+    write(os.path.join(eval_a_dir, "eval.h5"), eval_imgs, y_a)
+    write(os.path.join(eval_b_dir, "eval.h5"), eval_imgs, y_b)
+
+
+# 9 separable stain/tissue palettes, one per Kather class (ADI..TUM order)
+KATHER_BASES = (
+    (235, 220, 190), (248, 248, 248), (180, 140, 200), (120, 90, 180),
+    (200, 200, 240), (220, 120, 140), (230, 170, 190), (190, 160, 220),
+    (150, 70, 170),
+)
+
+
+def make_kather_folder(out_dir, n_per_class=40, size=224, seed=5):
+    """Reference folder-per-class layout (dataset.py:1002-1071): 9 class
+    dirs ADI..TUM of .tif patches, each class with a distinct palette."""
+    import cv2
+
+    from ssl_cr_histo_tpu.data.datasets import KATHER_CLASSES
+
+    rng = np.random.default_rng(seed)
+    for cls, base in zip(KATHER_CLASSES, KATHER_BASES):
+        d = os.path.join(out_dir, cls)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_per_class):
+            img = _tissue_texture(rng, size, size, base,
+                                  nucleus_density=0.0008)
+            cv2.imwrite(os.path.join(d, f"{cls}-{i:04d}.tif"), img[:, :, ::-1])
+
+
 # --------------------------------------------------------------------------
 # Stage drivers
 # --------------------------------------------------------------------------
@@ -150,44 +220,21 @@ def _csv_rows(path):
     return [[float(v) for v in ln.split(",") if v.strip() != ""] for ln in lines]
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser("full-recipe rehearsal at reference shapes")
-    p.add_argument("--workdir", default="/tmp/ssl_cr_rehearsal")
-    p.add_argument("--out", default="REHEARSAL.json")
-    p.add_argument("--pretrain_epochs", type=int, default=2)
-    p.add_argument("--pretrain_steps_per_epoch", type=int, default=12)
-    p.add_argument("--finetune_epochs", type=int, default=3)
-    p.add_argument("--cr_epochs", type=int, default=2)
-    p.add_argument("--froc_threshold", type=float, default=0.3,
-                   help="candidate threshold for the FROC stage (the few-epoch\n"
-                        "rehearsal model is not saturated; real runs use 0.5)")
-    p.add_argument("--n_patches_per_class", type=int, default=300)
-    p.add_argument("--skip_data", action="store_true",
-                   help="reuse --workdir's existing synthetic data")
-    args = p.parse_args(argv)
+def stage_pretrain(args, W, report):
+    """Stage 1: RSP pretraining at the config of record (BASELINE.md: 256^2
+    tiles, stride 128, batch 64, v1 pool, SGD-Nesterov+Lookahead).  Returns
+    the checkpoint path; honors --stage1_ckpt (reuse a previous rehearsal's
+    stage 1 — the reference itself transfers one pretraining across tasks,
+    eval_Kather_SSL.py:242-243)."""
+    from ssl_cr_histo_tpu.cli import pretrain
 
-    from ssl_cr_histo_tpu.cli import consistency, finetune, froc, heatmap, pretrain
+    if args.stage1_ckpt:
+        report["stages"]["pretrain"] = {"reused": args.stage1_ckpt}
+        print(f"== pretrain reused: {args.stage1_ckpt}")
+        return args.stage1_ckpt
 
-    W = args.workdir
-    os.makedirs(W, exist_ok=True)
-    report = {"config": vars(args), "stages": {}}
-
-    t0 = time.time()
     if not args.skip_data:
         make_pretrain_wsis(os.path.join(W, "wsis"))
-        make_camelyon_patches(
-            os.path.join(W, "patches"), os.path.join(W, "jsons"),
-            n_per_class=args.n_patches_per_class,
-        )
-        make_heatmap_slide(
-            os.path.join(W, "hm_wsi"), os.path.join(W, "hm_mask"),
-            os.path.join(W, "hm_gt"),
-        )
-    report["stages"]["data"] = {"seconds": round(time.time() - t0, 1)}
-    print(f"== data ready ({report['stages']['data']['seconds']}s)")
-
-    # ---- stage 1: RSP pretraining, config of record (BASELINE.md:
-    # 256^2 tiles, stride 128, batch 64, v1 pool, SGD-Nesterov+Lookahead)
     s1 = os.path.join(W, "stage1")
     t0 = time.time()
     pretrain.main([
@@ -204,6 +251,7 @@ def main(argv=None):
     dt = time.time() - t0
     rows = _csv_rows(os.path.join(s1, "train_results.csv"))
     n_steps = args.pretrain_epochs * args.pretrain_steps_per_epoch
+    ckpt = os.path.join(s1, f"ckpt_{args.pretrain_epochs}")
     report["stages"]["pretrain"] = {
         "seconds": round(dt, 1),
         "epochs": args.pretrain_epochs,
@@ -213,80 +261,126 @@ def main(argv=None):
         "val_loss": [r[3] for r in rows],
         "val_acc": [r[4] for r in rows],
         "aug_patches_per_sec_incl_io": round(n_steps * 64 * 3 / dt, 1),
-        "checkpoint": os.path.join(s1, f"ckpt_{args.pretrain_epochs}"),
+        "checkpoint": ckpt,
     }
     gc.collect()
     print(f"== pretrain done ({dt:.0f}s): {report['stages']['pretrain']['train_loss']}")
+    return ckpt
 
-    # ---- stage 2: Camelyon16 supervised fine-tune (batch 16 PER CLASS,
-    # SGD-Nesterov 5e-4, 3-view stack — eval_Camelyon_SSL.py of record)
-    s2 = os.path.join(W, "stage2")
+
+def stage_finetune(args, report, task, data_argv, stage1_ckpt, save_dir,
+                   labeled_batch_per_step):
+    """Stage 2: supervised fine-tune at the task's config of record
+    (TaskConfig: BPQ batch 4 Adam 1e-4 MSE / Camelyon 16-per-class SGD 5e-4
+    / Kather batch 64 Adam 1e-5)."""
+    from ssl_cr_histo_tpu.cli import finetune
+
     t0 = time.time()
     finetune.main([
-        "--task", "camelyon16",
-        "--train_path", os.path.join(W, "patches"),
-        "--json_path", os.path.join(W, "jsons"),
-        "--model_path", report["stages"]["pretrain"]["checkpoint"],
+        "--task", task,
+        *data_argv,
+        "--model_path", stage1_ckpt,
         "--num_epoch", str(args.finetune_epochs),
         "--labeled_train", "1.0",
         "--validation_split", "0.1",
-        "--save_dir", s2,
+        "--save_dir", save_dir,
     ])
     dt = time.time() - t0
-    rows = _csv_rows(os.path.join(s2, "fine_tuned_results.csv"))
+    rows = _csv_rows(os.path.join(save_dir, "fine_tuned_results.csv"))
     report["stages"]["finetune"] = {
         "seconds": round(dt, 1),
         "epochs": args.finetune_epochs,
-        "labeled_batch_per_step": 32,  # 16 per class
+        "labeled_batch_per_step": labeled_batch_per_step,
         "train_loss": [r[1] for r in rows],
-        "val_err": [r[2] for r in rows],
-        "checkpoint": os.path.join(s2, "final"),
+        ("val_mse" if task == "breastpathq" else "val_err"): [r[2] for r in rows],
+        "checkpoint": os.path.join(save_dir, "final"),
     }
     gc.collect()
-    print(f"== finetune done ({dt:.0f}s): val_err {report['stages']['finetune']['val_err']}")
+    key = "val_mse" if task == "breastpathq" else "val_err"
+    print(f"== finetune done ({dt:.0f}s): {key} {report['stages']['finetune'][key]}")
+    return os.path.join(save_dir, "final")
 
-    # ---- stage 3: SSL_CR consistency (batch 8/class + mu=7 unlabeled,
-    # NAug=7, lambda_u=1 — eval_Camelyon_SSL_CR.py of record)
-    s3 = os.path.join(W, "stage3")
+
+def stage_consistency(args, report, task, data_argv, ft_ckpt, save_dir,
+                      labeled_batch_per_step, unlabeled_batch_per_step):
+    """Stage 3: SSL_CR consistency at the task's CR config of record
+    (cr_batch: BPQ 4 / Camelyon 8-per-class / Kather 8; mu=7, NAug=7,
+    lambda_u=1)."""
+    from ssl_cr_histo_tpu.cli import consistency
+
     t0 = time.time()
     consistency.main([
-        "--task", "camelyon16",
-        "--train_path", os.path.join(W, "patches"),
-        "--json_path", os.path.join(W, "jsons"),
-        "--finetune_ckpt", os.path.join(s2, "final"),
+        "--task", task,
+        *data_argv,
+        "--finetune_ckpt", ft_ckpt,
         "--num_epoch", str(args.cr_epochs),
         "--labeled_train", "0.5",
         "--validation_split", "0.1",
-        "--save_dir", s3,
+        "--save_dir", save_dir,
     ])
     dt = time.time() - t0
-    rows = _csv_rows(os.path.join(s3, "consistency_results.csv"))
+    rows = _csv_rows(os.path.join(save_dir, "consistency_results.csv"))
     report["stages"]["consistency"] = {
         "seconds": round(dt, 1),
         "epochs": args.cr_epochs,
-        "labeled_batch_per_step": 16,  # 8 per class
-        "unlabeled_batch_per_step": 112,  # 8*mu7 per class
+        "labeled_batch_per_step": labeled_batch_per_step,
+        "unlabeled_batch_per_step": unlabeled_batch_per_step,
         "train_loss": [r[1] for r in rows],
         "sup_loss": [r[2] for r in rows],
         "cons_loss": [r[3] for r in rows],
-        "val_err": [r[4] for r in rows],
-        "checkpoint": os.path.join(s3, "final"),
+        ("val_mse" if task == "breastpathq" else "val_err"): [r[4] for r in rows],
+        "checkpoint": os.path.join(save_dir, "final"),
     }
     gc.collect()
     print(f"== consistency done ({dt:.0f}s): loss {report['stages']['consistency']['train_loss']}")
+    return os.path.join(save_dir, "final")
 
-    # ---- stage 3b: evaluation mode (reference eval blocks: confusion/
-    # sens/spec/F1 + binary AUC, sharded inference)
+
+# --------------------------------------------------------------------------
+# Recipes
+# --------------------------------------------------------------------------
+
+
+def run_camelyon16(args, W, report):
+    from ssl_cr_histo_tpu.cli import finetune, froc, heatmap
+
+    t0 = time.time()
+    if not args.skip_data:
+        make_camelyon_patches(
+            os.path.join(W, "patches"), os.path.join(W, "jsons"),
+            n_per_class=args.n_patches_per_class,
+        )
+        make_heatmap_slide(
+            os.path.join(W, "hm_wsi"), os.path.join(W, "hm_mask"),
+            os.path.join(W, "hm_gt"),
+        )
+    report["stages"]["data"] = {"seconds": round(time.time() - t0, 1)}
+    print(f"== data ready ({report['stages']['data']['seconds']}s)")
+
+    s1_ckpt = stage_pretrain(args, W, report)
+    data_argv = ["--train_path", os.path.join(W, "patches"),
+                 "--json_path", os.path.join(W, "jsons")]
+    s2 = stage_finetune(args, report, "camelyon16", data_argv, s1_ckpt,
+                        os.path.join(W, "stage2"),
+                        labeled_batch_per_step=32)  # 16 per class
+    s3 = stage_consistency(args, report, "camelyon16", data_argv, s2,
+                           os.path.join(W, "stage3"),
+                           labeled_batch_per_step=16,      # 8 per class
+                           unlabeled_batch_per_step=112)   # 8*mu7 per class
+
+    # ---- evaluation mode (reference eval blocks: confusion/sens/spec/F1 +
+    # binary AUC, sharded inference)
+    s3_dir = os.path.dirname(s3)
     t0 = time.time()
     finetune.main([
         "--task", "camelyon16",
         "--mode", "evaluation",
         "--test_path", os.path.join(W, "patches"),
         "--json_path", os.path.join(W, "jsons"),
-        "--finetune_ckpt", os.path.join(s3, "final"),
-        "--save_dir", s3,
+        "--finetune_ckpt", s3,
+        "--save_dir", s3_dir,
     ])
-    ev = json.load(open(os.path.join(s3, "camelyon16_eval.json")))
+    ev = json.load(open(os.path.join(s3_dir, "camelyon16_eval.json")))
     report["stages"]["evaluation"] = {
         "seconds": round(time.time() - t0, 1),
         "auc": ev.get("auc"),
@@ -296,14 +390,14 @@ def main(argv=None):
     gc.collect()
     print(f"== evaluation done: auc {ev.get('auc')}")
 
-    # ---- stage 4: WSI heatmap inference at 256^2 (test_Camelyon16.py)
+    # ---- WSI heatmap inference at 256^2 (test_Camelyon16.py)
     hm_out = os.path.join(W, "probs")
     t0 = time.time()
     heatmap.main([
         "--test_image_pth", os.path.join(W, "hm_wsi"),
         "--test_mask_pth", os.path.join(W, "hm_mask"),
         "--probs_map_path", hm_out,
-        "--finetune_ckpt", os.path.join(s3, "final"),
+        "--finetune_ckpt", s3,
     ])
     dt = time.time() - t0
     pm = np.load(os.path.join(hm_out, "t1.npy"))
@@ -327,7 +421,7 @@ def main(argv=None):
     gc.collect()
     print(f"== heatmap done ({dt:.0f}s): tumor {tumor_mean:.3f} vs normal {normal_mean:.3f}")
 
-    # ---- stage 5: official-protocol FROC over the map
+    # ---- official-protocol FROC over the map
     froc_out = os.path.join(W, "froc.json")
     t0 = time.time()
     froc.main([
@@ -345,7 +439,141 @@ def main(argv=None):
         "total_lesions": fr["total_lesions"],
     }
 
-    report["total_seconds"] = round(sum(s["seconds"] for s in report["stages"].values()), 1)
+
+def run_breastpathq(args, W, report):
+    from ssl_cr_histo_tpu.cli import finetune
+
+    t0 = time.time()
+    train_dir = os.path.join(W, "bpq_train")
+    eval_a, eval_b = os.path.join(W, "bpq_eval_a"), os.path.join(W, "bpq_eval_b")
+    if not args.skip_data:
+        make_breastpathq_h5(train_dir, eval_a, eval_b)
+    report["stages"]["data"] = {"seconds": round(time.time() - t0, 1)}
+    print(f"== data ready ({report['stages']['data']['seconds']}s)")
+
+    s1_ckpt = stage_pretrain(args, W, report)
+    data_argv = ["--train_path", train_dir]
+    s2 = stage_finetune(args, report, "breastpathq", data_argv, s1_ckpt,
+                        os.path.join(W, "bpq_stage2"),
+                        labeled_batch_per_step=4)
+    s3 = stage_consistency(args, report, "breastpathq", data_argv, s2,
+                           os.path.join(W, "bpq_stage3"),
+                           labeled_batch_per_step=4,
+                           unlabeled_batch_per_step=28)  # 4 * mu7
+
+    # ---- evaluation: two-rater ICC / Kendall tau / MSE + scatter and
+    # Bland-Altman artifacts (eval_BreastPathQ_SSL.py:471-544)
+    s3_dir = os.path.dirname(s3)
+    t0 = time.time()
+    finetune.main([
+        "--task", "breastpathq",
+        "--mode", "evaluation",
+        "--test_path", eval_a,
+        "--test_path_b", eval_b,
+        "--finetune_ckpt", s3,
+        "--save_dir", s3_dir,
+    ])
+    ev = json.load(open(os.path.join(s3_dir, "breastpathq_eval.json")))
+    report["stages"]["evaluation"] = {
+        "seconds": round(time.time() - t0, 1),
+        "icc_MA": ev.get("icc_MA"),
+        "icc_MB": ev.get("icc_MB"),
+        "icc_AB": ev.get("icc_AB"),
+        "tau_MA": ev.get("tau_MA"),
+        "mse_MA": ev.get("mse_MA"),
+        "artifacts": sorted(p for p in os.listdir(s3_dir) if p.endswith(".png")),
+    }
+    print(f"== evaluation done: ICC(M,A) {ev.get('icc_MA')}, tau {ev.get('tau_MA')}")
+
+
+def run_kather(args, W, report):
+    from ssl_cr_histo_tpu.cli import finetune
+
+    t0 = time.time()
+    data_dir = os.path.join(W, "kather")
+    if not args.skip_data:
+        make_kather_folder(data_dir, n_per_class=args.n_patches_per_class // 5)
+    report["stages"]["data"] = {"seconds": round(time.time() - t0, 1)}
+    print(f"== data ready ({report['stages']['data']['seconds']}s)")
+
+    s1_ckpt = stage_pretrain(args, W, report)
+    data_argv = ["--train_path", data_dir]
+    s2 = stage_finetune(args, report, "kather", data_argv, s1_ckpt,
+                        os.path.join(W, "kather_stage2"),
+                        labeled_batch_per_step=64)
+    s3 = stage_consistency(args, report, "kather", data_argv, s2,
+                           os.path.join(W, "kather_stage3"),
+                           labeled_batch_per_step=8,
+                           unlabeled_batch_per_step=56)  # 8 * mu7
+
+    # ---- evaluation: confusion / per-class sens-spec / weighted F1 /
+    # multiclass OVR AUC (eval_Kather_SSL_CR.py:643-666)
+    s3_dir = os.path.dirname(s3)
+    t0 = time.time()
+    finetune.main([
+        "--task", "kather",
+        "--mode", "evaluation",
+        "--test_path", data_dir,
+        "--finetune_ckpt", s3,
+        "--save_dir", s3_dir,
+    ])
+    ev = json.load(open(os.path.join(s3_dir, "kather_eval.json")))
+    report["stages"]["evaluation"] = {
+        "seconds": round(time.time() - t0, 1),
+        "accuracy": ev.get("accuracy"),
+        "weighted_f1": ev.get("weighted_f1"),
+        "ovr_auc": ev.get("ovr_auc"),
+    }
+    print(f"== evaluation done: acc {ev.get('accuracy')}, ovr_auc {ev.get('ovr_auc')}")
+
+
+RECIPES = {
+    "camelyon16": (run_camelyon16, "REHEARSAL.json", 3, 2),
+    "breastpathq": (run_breastpathq, "REHEARSAL_BREASTPATHQ.json", 5, 3),
+    "kather": (run_kather, "REHEARSAL_KATHER.json", 20, 5),
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("full-recipe rehearsal at reference shapes")
+    p.add_argument("--recipe", default="camelyon16", choices=list(RECIPES))
+    p.add_argument("--workdir", default="/tmp/ssl_cr_rehearsal")
+    p.add_argument("--out", default="",
+                   help="report path (default: the recipe's REHEARSAL*.json)")
+    p.add_argument("--stage1_ckpt", default="",
+                   help="reuse an existing stage-1 pretraining checkpoint "
+                        "instead of training one (the reference transfers "
+                        "its Camelyon16 pretraining to Kather)")
+    p.add_argument("--pretrain_epochs", type=int, default=2)
+    p.add_argument("--pretrain_steps_per_epoch", type=int, default=12)
+    p.add_argument("--finetune_epochs", type=int, default=0,
+                   help="0 = recipe default (camelyon16 3 / breastpathq 5 / "
+                        "kather 20 — Kather's Adam 1e-5 of record needs more "
+                        "steps to move its head-only fine-tune)")
+    p.add_argument("--cr_epochs", type=int, default=0,
+                   help="0 = recipe default (camelyon16 2 / breastpathq 3 / kather 5)")
+    p.add_argument("--froc_threshold", type=float, default=0.3,
+                   help="candidate threshold for the FROC stage (the few-epoch\n"
+                        "rehearsal model is not saturated; real runs use 0.5)")
+    p.add_argument("--n_patches_per_class", type=int, default=300)
+    p.add_argument("--skip_data", action="store_true",
+                   help="reuse --workdir's existing synthetic data")
+    args = p.parse_args(argv)
+
+    run, default_out, ft_default, cr_default = RECIPES[args.recipe]
+    args.out = args.out or default_out
+    args.finetune_epochs = args.finetune_epochs or ft_default
+    args.cr_epochs = args.cr_epochs or cr_default
+
+    W = args.workdir
+    os.makedirs(W, exist_ok=True)
+    report = {"config": vars(args), "stages": {}}
+
+    run(args, W, report)
+
+    report["total_seconds"] = round(
+        sum(s.get("seconds", 0) for s in report["stages"].values()), 1
+    )
     import jax
 
     report["platform"] = str(jax.devices()[0])
