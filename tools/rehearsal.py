@@ -220,6 +220,17 @@ def _csv_rows(path):
     return [[float(v) for v in ln.split(",") if v.strip() != ""] for ln in lines]
 
 
+def _fresh_dir(path):
+    """Stage save_dirs must start empty: CsvLogger appends, so rerunning a
+    recipe into the same workdir would report doubled metric rows."""
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def stage_pretrain(args, W, report):
     """Stage 1: RSP pretraining at the config of record (BASELINE.md: 256^2
     tiles, stride 128, batch 64, v1 pool, SGD-Nesterov+Lookahead).  Returns
@@ -235,7 +246,7 @@ def stage_pretrain(args, W, report):
 
     if not args.skip_data:
         make_pretrain_wsis(os.path.join(W, "wsis"))
-    s1 = os.path.join(W, "stage1")
+    s1 = _fresh_dir(os.path.join(W, "stage1"))
     t0 = time.time()
     pretrain.main([
         "--train_image_pth", os.path.join(W, "wsis"),
@@ -275,6 +286,7 @@ def stage_finetune(args, report, task, data_argv, stage1_ckpt, save_dir,
     / Kather batch 64 Adam 1e-5)."""
     from ssl_cr_histo_tpu.cli import finetune
 
+    _fresh_dir(save_dir)
     t0 = time.time()
     finetune.main([
         "--task", task,
@@ -308,6 +320,7 @@ def stage_consistency(args, report, task, data_argv, ft_ckpt, save_dir,
     lambda_u=1)."""
     from ssl_cr_histo_tpu.cli import consistency
 
+    _fresh_dir(save_dir)
     t0 = time.time()
     consistency.main([
         "--task", task,
@@ -329,11 +342,17 @@ def stage_consistency(args, report, task, data_argv, ft_ckpt, save_dir,
         "sup_loss": [r[2] for r in rows],
         "cons_loss": [r[3] for r in rows],
         ("val_mse" if task == "breastpathq" else "val_err"): [r[4] for r in rows],
-        "checkpoint": os.path.join(save_dir, "final"),
     }
+    # Downstream evaluation uses the best-val CR checkpoint — the model the
+    # reference's best-val checkpointing selects (eval_*_SSL_CR.py save the
+    # best validation model for exactly this).
+    ckpt = os.path.join(save_dir, "best")
+    if not os.path.isdir(ckpt):
+        ckpt = os.path.join(save_dir, "final")
+    report["stages"]["consistency"]["checkpoint"] = ckpt
     gc.collect()
     print(f"== consistency done ({dt:.0f}s): loss {report['stages']['consistency']['train_loss']}")
-    return os.path.join(save_dir, "final")
+    return ckpt
 
 
 # --------------------------------------------------------------------------
@@ -530,7 +549,7 @@ def run_kather(args, W, report):
 RECIPES = {
     "camelyon16": (run_camelyon16, "REHEARSAL.json", 3, 2),
     "breastpathq": (run_breastpathq, "REHEARSAL_BREASTPATHQ.json", 5, 3),
-    "kather": (run_kather, "REHEARSAL_KATHER.json", 20, 5),
+    "kather": (run_kather, "REHEARSAL_KATHER.json", 60, 10),
 }
 
 
@@ -548,10 +567,10 @@ def main(argv=None):
     p.add_argument("--pretrain_steps_per_epoch", type=int, default=12)
     p.add_argument("--finetune_epochs", type=int, default=0,
                    help="0 = recipe default (camelyon16 3 / breastpathq 5 / "
-                        "kather 20 — Kather's Adam 1e-5 of record needs more "
+                        "kather 60 — Kather's Adam 1e-5 of record needs more "
                         "steps to move its head-only fine-tune)")
     p.add_argument("--cr_epochs", type=int, default=0,
-                   help="0 = recipe default (camelyon16 2 / breastpathq 3 / kather 5)")
+                   help="0 = recipe default (camelyon16 2 / breastpathq 3 / kather 10)")
     p.add_argument("--froc_threshold", type=float, default=0.3,
                    help="candidate threshold for the FROC stage (the few-epoch\n"
                         "rehearsal model is not saturated; real runs use 0.5)")
