@@ -45,8 +45,22 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser("SSL_CR consistency training (TPU)")
     p.add_argument("--task", required=True, choices=list(TASKS))
     p.add_argument("--mode", default="fine-tuning", choices=["fine-tuning", "evaluation"])
-    p.add_argument("--train_path", default="")
+    p.add_argument("--train_path", default="",
+                   help="train data dir; Camelyon16 accepts several "
+                        "comma-joined patch dirs (the reference's tumor + "
+                        "normal layout, eval_Camelyon_SSL_CR.py:270-271)")
     p.add_argument("--json_path", default="")
+    p.add_argument("--val_path", default="",
+                   help="explicit validation data dir(s); when set the whole "
+                        "--train_path trains (and is the unlabeled pool) and "
+                        "--validation_split is ignored (reference "
+                        "eval_Camelyon_SSL_CR.py:275-277 PATCHES_*_VALID)")
+    p.add_argument("--val_json_path", default="",
+                   help="annotation JSON dir for --val_path (reference "
+                        "--json_val_pth); defaults to --json_path")
+    p.add_argument("--with_replacement", action="store_true",
+                   help="reproduce the reference's labeled subsampling "
+                        "with replacement (eval_Kather_SSL_CR.py:333)")
     p.add_argument("--test_path", default="", help="eval data dir (mode=evaluation)")
     p.add_argument("--test_path_b", default="", help="BreastPathQ second-rater dir")
     p.add_argument("--finetune_ckpt", default="",
@@ -130,15 +144,17 @@ def main(argv=None):
 
     # Data: labeled fraction for supervision; the FULL train split is the
     # unlabeled pool (reference uses the task's unlabeled data with
-    # TransformFix — eval_Kather_SSL_CR.py:321-349).
-    if cfg.name == "breastpathq":
-        ds = D.load_breastpathq_h5(args.train_path, cfg.image_size)
-    elif cfg.name == "camelyon16":
-        ds = D.load_camelyon16_patches(args.train_path, args.json_path, cfg.image_size)
-    else:
-        ds = D.load_kather_folder(args.train_path, cfg.image_size)
-    train, val = D.train_val_split(ds, args.validation_split, seed=args.seed)
-    labeled = D.labeled_fraction(train, args.labeled_train, seed=args.seed)
+    # TransformFix — eval_Kather_SSL_CR.py:321-349, and the Camelyon CR
+    # unlabeled samplers are the full per-class train indices,
+    # eval_Camelyon_SSL_CR.py:320-321).  Validation comes from --val_path
+    # when given (reference Camelyon16 VALID dirs), else a holdout split.
+    from ssl_cr_histo_tpu.cli.finetune import load_train_val
+
+    train, val = load_train_val(args, cfg)
+    labeled = D.labeled_fraction(
+        train, args.labeled_train, seed=args.seed,
+        with_replacement=args.with_replacement,
+    )
     print(f"==> {len(labeled)} labeled / {len(train)} unlabeled / {len(val)} val")
 
     lr = args.lr or cfg.lr

@@ -44,8 +44,21 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser("SSL supervised fine-tuning (TPU)")
     p.add_argument("--task", required=True, choices=list(TASKS))
     p.add_argument("--mode", default="fine-tuning", choices=["fine-tuning", "evaluation"])
-    p.add_argument("--train_path", default="", help="train data dir (h5 dir / patches dir / class folders)")
+    p.add_argument("--train_path", default="",
+                   help="train data dir (h5 dir / patches dir / class "
+                        "folders); Camelyon16 accepts several comma-joined "
+                        "patch dirs (the reference's tumor + normal layout, "
+                        "eval_Camelyon_SSL.py --train_{tumor,normal}_image_pth)")
     p.add_argument("--json_path", default="", help="Camelyon16 annotation JSON dir")
+    p.add_argument("--val_path", default="",
+                   help="explicit validation data dir(s); when set the whole "
+                        "--train_path trains and --validation_split is "
+                        "ignored (the reference's Camelyon16 drivers take "
+                        "dedicated PATCHES_*_VALID dirs, "
+                        "eval_Camelyon_SSL.py:231-233)")
+    p.add_argument("--val_json_path", default="",
+                   help="annotation JSON dir for --val_path (reference "
+                        "--json_val_pth); defaults to --json_path")
     p.add_argument("--test_path", default="", help="eval data dir")
     p.add_argument("--test_path_b", default="", help="BreastPathQ second-rater dir")
     p.add_argument("--model_path", default="", help="stage-1 pretraining checkpoint (native dir or torch .pt)")
@@ -81,14 +94,32 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def load_train_data(args, cfg):
+def load_task_dataset(cfg, path: str, json_path: str = ""):
+    """One task-appropriate loader call (shared with cli.consistency)."""
     if cfg.name == "breastpathq":
-        ds = D.load_breastpathq_h5(args.train_path, cfg.image_size)
-    elif cfg.name == "camelyon16":
-        ds = D.load_camelyon16_patches(args.train_path, args.json_path, cfg.image_size)
-    else:
-        ds = D.load_kather_folder(args.train_path, cfg.image_size)
-    train, val = D.train_val_split(ds, args.validation_split, seed=args.seed)
+        return D.load_breastpathq_h5(path, cfg.image_size)
+    if cfg.name == "camelyon16":
+        return D.load_camelyon16_patches(path, json_path, cfg.image_size)
+    return D.load_kather_folder(path, cfg.image_size)
+
+
+def load_train_val(args, cfg):
+    """Train/val pair: either an explicit --val_path (the reference's
+    Camelyon16 semantics — dedicated VALID dirs, the full train set trains,
+    eval_Camelyon_SSL.py:255-292) or a --validation_split holdout of the
+    train set (the reference's BreastPathQ/Kather semantics,
+    eval_BreastPathQ_SSL.py:293-302)."""
+    ds = load_task_dataset(cfg, args.train_path, args.json_path)
+    if args.val_path:
+        val = load_task_dataset(
+            cfg, args.val_path, args.val_json_path or args.json_path
+        )
+        return ds, val
+    return D.train_val_split(ds, args.validation_split, seed=args.seed)
+
+
+def load_train_data(args, cfg):
+    train, val = load_train_val(args, cfg)
     if args.labeled_train < 1.0:
         train = D.labeled_fraction(
             train, args.labeled_train, seed=args.seed, with_replacement=args.with_replacement

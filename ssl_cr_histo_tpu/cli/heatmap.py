@@ -35,7 +35,9 @@ def parse_args(argv=None):
     p.add_argument("--test_mask_pth", required=True, help="dir of tissue masks (.npy)")
     p.add_argument("--probs_map_path", required=True, help="output dir")
     p.add_argument("--finetune_ckpt", required=True, help="fine-tuned checkpoint dir")
-    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=256,
+                   help="patches per forward; on forward-bound hosts 1024 "
+                        "is +17%% throughput (eval-knee table in PERF.md)")
     add_common_args(p)  # provides --image_size (0 = default; 256 here)
     return p.parse_args(argv)
 

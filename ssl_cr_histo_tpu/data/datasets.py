@@ -197,6 +197,15 @@ def _finetune_split(pid: str) -> bool:
     return False
 
 
+def split_data_dirs(data_path: str) -> List[str]:
+    """Split a --*_path value into its directories: comma- or
+    os.pathsep-separated.  The reference ships Camelyon16 tumor and normal
+    patches as SEPARATE directories (eval_Camelyon_SSL.py
+    --train_tumor_image_pth / --train_normal_image_pth, same for *_VALID) —
+    pass both as one comma-joined value here."""
+    return [d.strip() for d in data_path.replace(os.pathsep, ",").split(",") if d.strip()]
+
+
 def load_camelyon16_patches(
     data_path: str,
     json_path: str,
@@ -205,25 +214,32 @@ def load_camelyon16_patches(
 ) -> ArrayDataset:
     """Load '{idx}.png' patches with point-in-polygon labels.
 
+    data_path may name SEVERAL patch directories (comma/os.pathsep
+    separated), each with its own list.txt and line-indexed '{idx}.png'
+    files — the reference's layout is one tumor dir + one normal dir per
+    split (eval_Camelyon_SSL.py:226-232, eval_Camelyon_SSL_CR.py:270-277),
+    each indexed independently (dataset.py:737 opens '{idx}.png' relative
+    to its own data_path).
+
     split: 'finetune' applies the Tumor_>25/Normal_>35 rule; 'pretrain' the
     complement; None keeps everything.
     """
     anns = _load_annotations(json_path)
-    entries = _camelyon_list(data_path)
     images, labels = [], []
-    for idx, pid, x, y in entries:
-        keep = (
-            split is None
-            or (split == "finetune" and _finetune_split(pid))
-            or (split == "pretrain" and not _finetune_split(pid))
-        )
-        if not keep:
-            continue
-        img_path = os.path.join(data_path, f"{idx}.png")
-        img = cv2.cvtColor(cv2.imread(img_path, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
-        images.append(_resize(img, image_size))
-        ann = anns.get(pid)
-        labels.append(1 if (ann is not None and ann.inside_polygons((x, y), True)) else 0)
+    for d in split_data_dirs(data_path):
+        for idx, pid, x, y in _camelyon_list(d):
+            keep = (
+                split is None
+                or (split == "finetune" and _finetune_split(pid))
+                or (split == "pretrain" and not _finetune_split(pid))
+            )
+            if not keep:
+                continue
+            img_path = os.path.join(d, f"{idx}.png")
+            img = cv2.cvtColor(cv2.imread(img_path, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+            images.append(_resize(img, image_size))
+            ann = anns.get(pid)
+            labels.append(1 if (ann is not None and ann.inside_polygons((x, y), True)) else 0)
     return ArrayDataset(np.stack(images), np.asarray(labels, np.int32))
 
 

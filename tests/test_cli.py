@@ -402,53 +402,62 @@ def test_finetune_cli_breastpathq_regression(tmp_path):
     assert (save / "BDPlot_Eval_2way_AB_plot.png").exists()
 
 
-def test_finetune_cli_camelyon16_balanced(tmp_path):
-    """Camelyon16 task end-to-end: list.txt patch loading, polygon labels,
+def _make_camelyon_class_dir(root, name, pid, coord, n, size=32, seed=0):
+    """One single-class patch dir in the reference's layout: its own
+    list.txt + line-indexed '{i}.png' (the reference ships tumor and normal
+    patches as separate dirs, eval_Camelyon_SSL.py:226-232)."""
+    d = root / name
+    os.makedirs(d)
+    rng = np.random.default_rng(seed)
+    base = 200 if pid.startswith("Tumor") else 60
+    with open(d / "list.txt", "w") as f:
+        for i in range(n):
+            f.write(f"{pid},{coord},{coord}\n")
+            img = np.full((size, size, 3), base, np.uint8)
+            img += rng.integers(0, 30, img.shape, dtype=np.uint8)
+            cv2.imwrite(str(d / f"{i}.png"), img)
+    return d
+
+
+def test_finetune_cli_camelyon16_balanced(tmp_path, capsys):
+    """Camelyon16 task end-to-end with the reference's data layout:
+    separate tumor/normal patch dirs (comma-joined --train_path), dedicated
+    VALID dirs (--val_path, eval_Camelyon_SSL.py:231-233), polygon labels,
     the balanced tumor/normal iterator, and binary AUC evaluation."""
     from ssl_cr_histo_tpu.cli import finetune
 
-    data = tmp_path / "patches"
     jsons = tmp_path / "jsons"
-    os.makedirs(data)
     os.makedirs(jsons)
-    rng = np.random.default_rng(0)
-    lines = []
-    # finetune split requires Tumor_>25 / Normal_>35; half inside polygon
-    for i in range(16):
-        pid = "Tumor_026" if i % 2 == 0 else "Normal_040"
-        x = 50 if (i % 2 == 0 and i % 4 == 0) or i % 2 == 0 else 500
-        lines.append((pid, x, x))
-    with open(data / "list.txt", "w") as f:
-        for i, (pid, x, y) in enumerate(lines):
-            f.write(f"{pid},{x},{y}\n")
-            base = 200 if pid.startswith("Tumor") else 60
-            img = np.full((32, 32, 3), base, np.uint8)
-            img += rng.integers(0, 30, img.shape, dtype=np.uint8)
-            cv2.imwrite(str(data / f"{i}.png"), img)
     tumor_doc = {
         "positive": [{"name": "t", "vertices": [[0, 0], [100, 0], [100, 100], [0, 100]]}],
         "negative": [],
     }
     (jsons / "Tumor_026.json").write_text(json.dumps(tumor_doc))
     (jsons / "Normal_040.json").write_text(json.dumps({"positive": [], "negative": []}))
+    tr_t = _make_camelyon_class_dir(tmp_path, "tumor_train", "Tumor_026", 50, 8, seed=0)
+    tr_n = _make_camelyon_class_dir(tmp_path, "normal_train", "Normal_040", 500, 8, seed=1)
+    va_t = _make_camelyon_class_dir(tmp_path, "tumor_valid", "Tumor_026", 50, 2, seed=2)
+    va_n = _make_camelyon_class_dir(tmp_path, "normal_valid", "Normal_040", 500, 2, seed=3)
 
     save = tmp_path / "run"
     finetune.main([
         "--task", "camelyon16",
-        "--train_path", str(data),
+        "--train_path", f"{tr_t},{tr_n}",
         "--json_path", str(jsons),
+        "--val_path", f"{va_t},{va_n}",
         "--num_epoch", "1",
         "--batch_size", "4",
-        "--validation_split", "0.25",
         "--image_size", "32",
         "--save_dir", str(save),
         "--no-bf16",
     ])
     assert (save / "final" / "checkpoint.msgpack").exists()
+    # explicit val dirs: the WHOLE train set trains, val is the 4 VALID patches
+    assert "==> 16 train / 4 val samples" in capsys.readouterr().out
     finetune.main([
         "--task", "camelyon16",
         "--mode", "evaluation",
-        "--test_path", str(data),
+        "--test_path", f"{tr_t},{tr_n}",
         "--json_path", str(jsons),
         "--finetune_ckpt", str(save / "final"),
         "--image_size", "32",

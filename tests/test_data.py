@@ -253,6 +253,43 @@ def test_camelyon16_patches(tmp_path):
     assert ds.images[0, 0, 0, 0] == 0
 
 
+def test_camelyon16_patches_multi_dir(tmp_path):
+    """The reference ships tumor and normal patches as SEPARATE dirs, each
+    with its own list.txt and line-indexed '{idx}.png'
+    (eval_Camelyon_SSL.py:226-232); a comma-joined data_path loads both,
+    resolving each idx against its own directory."""
+    import cv2
+
+    jsons = tmp_path / "jsons"
+    os.makedirs(jsons)
+    tumor_doc = {
+        "positive": [{"name": "t", "vertices": [[0, 0], [100, 0], [100, 100], [0, 100]]}],
+        "negative": [],
+    }
+    (jsons / "Tumor_026.json").write_text(json.dumps(tumor_doc))
+    (jsons / "Normal_040.json").write_text(json.dumps({"positive": [], "negative": []}))
+
+    def class_dir(name, pid, coord, vals):
+        d = tmp_path / name
+        os.makedirs(d)
+        with open(d / "list.txt", "w") as f:
+            for i, v in enumerate(vals):
+                f.write(f"{pid},{coord},{coord}\n")
+                cv2.imwrite(str(d / f"{i}.png"), np.full((32, 32, 3), v, np.uint8))
+        return d
+
+    td = class_dir("tumor", "Tumor_026", 50, [10, 20])
+    nd = class_dir("normal", "Normal_040", 500, [30, 40, 50])
+
+    ds = D.load_camelyon16_patches(f"{td},{nd}", str(jsons), image_size=32)
+    assert len(ds) == 5
+    np.testing.assert_array_equal(ds.labels, [1, 1, 0, 0, 0])
+    # per-dir line-index pairing: both dirs contribute their own 0.png/1.png
+    np.testing.assert_array_equal(ds.images[:, 0, 0, 0], [10, 20, 30, 40, 50])
+    # single-dir behavior unchanged
+    assert len(D.load_camelyon16_patches(str(nd), str(jsons), image_size=32)) == 3
+
+
 def test_splits_and_fraction():
     ds = D.ArrayDataset(np.arange(100)[:, None, None, None].astype(np.uint8), np.arange(100))
     tr, va = D.train_val_split(ds, 0.2, seed=0)
