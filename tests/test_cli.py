@@ -579,10 +579,13 @@ def _make_camelyon_patch_dir(root, n=16, size=32):
     return data, jsons
 
 
-def test_consistency_cli_camelyon16_batch_semantics(tmp_path, monkeypatch):
+def test_consistency_cli_camelyon16_batch_semantics(tmp_path, monkeypatch, capsys):
     """Camelyon16 CR parity (reference eval_Camelyon_SSL_CR.py:53-101,
     :330-356): each step must see 2*batch_size labeled samples (batch_size
-    per class) and a 50/50 tumor/normal unlabeled pool of 2*batch_size*mu."""
+    per class) and a 50/50 tumor/normal unlabeled pool of 2*batch_size*mu.
+    Also drives the reference's dedicated-VALID-dirs layout (--val_path +
+    --val_json_path, eval_Camelyon_SSL_CR.py:275-277) and --with_replacement
+    labeled subsampling through the CR CLI."""
     from ssl_cr_histo_tpu.cli import consistency, finetune
     from ssl_cr_histo_tpu.parallel import steps as S
 
@@ -615,11 +618,17 @@ def test_consistency_cli_camelyon16_batch_semantics(tmp_path, monkeypatch):
         return wrapped
 
     monkeypatch.setattr(S, "make_consistency_step", capture_factory)
+    va_t = _make_camelyon_class_dir(tmp_path, "tumor_valid", "Tumor_026", 50, 2, seed=2)
+    va_n = _make_camelyon_class_dir(tmp_path, "normal_valid", "Normal_040", 500, 2, seed=3)
     cr = tmp_path / "cr"
+    capsys.readouterr()
     consistency.main([
         "--task", "camelyon16",
         "--train_path", str(data),
         "--json_path", str(jsons),
+        "--val_path", f"{va_t},{va_n}",
+        "--val_json_path", str(jsons),
+        "--with_replacement",
         "--finetune_ckpt", str(ft / "final"),
         "--num_epoch", "1",
         "--batch_size", "2",
@@ -633,6 +642,9 @@ def test_consistency_cli_camelyon16_batch_semantics(tmp_path, monkeypatch):
         "--no-bf16",
     ])
     assert seen, "no consistency steps ran"
+    # explicit VALID dirs: the whole 16-patch train set is the labeled and
+    # unlabeled pool (--validation_split ignored), val = the 4 VALID patches
+    assert "==> 16 labeled / 16 unlabeled / 4 val" in capsys.readouterr().out
     for xl_shape, y_l, x_u in seen:
         # labeled: 2*B total, B per class
         assert xl_shape[0] == 4
