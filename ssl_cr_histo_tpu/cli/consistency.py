@@ -27,7 +27,7 @@ from ssl_cr_histo_tpu.cli.common import (
     resume_training,
     seed_everything,
 )
-from ssl_cr_histo_tpu.cli.finetune import validate
+from ssl_cr_histo_tpu.cli.finetune import load_train_val, subsample_labeled, validate
 from ssl_cr_histo_tpu.data import datasets as D
 from ssl_cr_histo_tpu.data.pipeline import prefetch_to_device
 from ssl_cr_histo_tpu.eval import metrics as M
@@ -148,13 +148,8 @@ def main(argv=None):
     # unlabeled samplers are the full per-class train indices,
     # eval_Camelyon_SSL_CR.py:320-321).  Validation comes from --val_path
     # when given (reference Camelyon16 VALID dirs), else a holdout split.
-    from ssl_cr_histo_tpu.cli.finetune import load_train_val
-
     train, val = load_train_val(args, cfg)
-    labeled = D.labeled_fraction(
-        train, args.labeled_train, seed=args.seed,
-        with_replacement=args.with_replacement,
-    )
+    labeled = subsample_labeled(train, args, cfg)
     print(f"==> {len(labeled)} labeled / {len(train)} unlabeled / {len(val)} val")
 
     lr = args.lr or cfg.lr
@@ -256,12 +251,11 @@ def main(argv=None):
             from ssl_cr_histo_tpu.data.pipeline import balanced_batch_iterator
 
             lab_it = balanced_batch_iterator(
-                labeled.images, labeled.labels, batch_size, seed=args.seed + epoch
+                labeled, batch_size, seed=args.seed + epoch
             )
             unlab_it = (
                 (imgs,) for imgs, _ in balanced_batch_iterator(
-                    train.images, train.labels, batch_size * args.mu,
-                    seed=1000 + args.seed + epoch,
+                    train, batch_size * args.mu, seed=1000 + args.seed + epoch
                 )
             )
         else:

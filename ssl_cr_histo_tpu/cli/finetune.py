@@ -118,13 +118,27 @@ def load_train_val(args, cfg):
     return D.train_val_split(ds, args.validation_split, seed=args.seed)
 
 
+def subsample_labeled(train, args, cfg):
+    """Labeled-fraction subsampling with the reference's task semantics
+    (shared with cli.consistency): Camelyon16 subsamples PER CLASS
+    (eval_Camelyon_SSL.py:273-274, eval_Camelyon_SSL_CR.py:318-319); the
+    other tasks pool.  The reference applies np.random.choice even at
+    labeled_train=1.0 — a with-replacement bootstrap that drops ~37% of
+    samples — so --with_replacement subsamples unconditionally; the default
+    without-replacement draw at fraction 1.0 is the identity and is
+    skipped."""
+    if args.labeled_train >= 1.0 and not args.with_replacement:
+        return train
+    return D.labeled_fraction(
+        train, args.labeled_train, seed=args.seed,
+        with_replacement=args.with_replacement,
+        per_class=(cfg.name == "camelyon16"),
+    )
+
+
 def load_train_data(args, cfg):
     train, val = load_train_val(args, cfg)
-    if args.labeled_train < 1.0:
-        train = D.labeled_fraction(
-            train, args.labeled_train, seed=args.seed, with_replacement=args.with_replacement
-        )
-    return train, val
+    return subsample_labeled(train, args, cfg), val
 
 
 def build_state(args, cfg, key):
@@ -222,9 +236,7 @@ def main(argv=None):
             # :50-75 concat)
             from ssl_cr_histo_tpu.data.pipeline import balanced_batch_iterator
 
-            it = balanced_batch_iterator(
-                train.images, train.labels, batch_size, seed=args.seed + epoch
-            )
+            it = balanced_batch_iterator(train, batch_size, seed=args.seed + epoch)
         else:
             it = train.batches(batch_size, seed=args.seed + epoch)
         if args.multi_step > 1:

@@ -198,12 +198,13 @@ def _finetune_split(pid: str) -> bool:
 
 
 def split_data_dirs(data_path: str) -> List[str]:
-    """Split a --*_path value into its directories: comma- or
-    os.pathsep-separated.  The reference ships Camelyon16 tumor and normal
-    patches as SEPARATE directories (eval_Camelyon_SSL.py
-    --train_tumor_image_pth / --train_normal_image_pth, same for *_VALID) —
-    pass both as one comma-joined value here."""
-    return [d.strip() for d in data_path.replace(os.pathsep, ",").split(",") if d.strip()]
+    """Split a --*_path value into its comma-separated directories.  The
+    reference ships Camelyon16 tumor and normal patches as SEPARATE
+    directories (eval_Camelyon_SSL.py --train_tumor_image_pth /
+    --train_normal_image_pth, same for *_VALID) — pass both as one
+    comma-joined value here.  Only ',' separates (not os.pathsep — ':' is
+    legal inside POSIX paths)."""
+    return [d.strip() for d in data_path.split(",") if d.strip()]
 
 
 def load_camelyon16_patches(
@@ -211,22 +212,34 @@ def load_camelyon16_patches(
     json_path: str,
     image_size: int = 256,
     split: Optional[str] = "finetune",
-) -> ArrayDataset:
+    lazy: "str | bool" = "auto",
+    lazy_threshold: int = 20000,
+):
     """Load '{idx}.png' patches with point-in-polygon labels.
 
-    data_path may name SEVERAL patch directories (comma/os.pathsep
-    separated), each with its own list.txt and line-indexed '{idx}.png'
-    files — the reference's layout is one tumor dir + one normal dir per
-    split (eval_Camelyon_SSL.py:226-232, eval_Camelyon_SSL_CR.py:270-277),
-    each indexed independently (dataset.py:737 opens '{idx}.png' relative
-    to its own data_path).
+    data_path may name SEVERAL comma-separated patch directories, each with
+    its own list.txt and line-indexed '{idx}.png' files — the reference's
+    layout is one tumor dir + one normal dir per split
+    (eval_Camelyon_SSL.py:226-232, eval_Camelyon_SSL_CR.py:270-277), each
+    indexed independently (dataset.py:737 opens '{idx}.png' relative to its
+    own data_path).
 
     split: 'finetune' applies the Tumor_>25/Normal_>35 rule; 'pretrain' the
     complement; None keeps everything.
+
+    lazy=True (or 'auto' above lazy_threshold items) returns a
+    LazyImageDataset that decodes per batch — matching the reference's lazy
+    per-item decode (dataset.py:735-739) and keeping reference-scale patch
+    sets (tens of thousands of 256x256 PNGs per class dir) out of host RAM.
+    Labels are always eager (splits and class balancing need them).
     """
+    dirs = split_data_dirs(data_path)
+    if not dirs:
+        raise ValueError("empty Camelyon16 data_path (expected patch dir(s))")
     anns = _load_annotations(json_path)
-    images, labels = [], []
-    for d in split_data_dirs(data_path):
+    paths: List[str] = []
+    labels: List[int] = []
+    for d in dirs:
         for idx, pid, x, y in _camelyon_list(d):
             keep = (
                 split is None
@@ -235,12 +248,19 @@ def load_camelyon16_patches(
             )
             if not keep:
                 continue
-            img_path = os.path.join(d, f"{idx}.png")
-            img = cv2.cvtColor(cv2.imread(img_path, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
-            images.append(_resize(img, image_size))
+            paths.append(os.path.join(d, f"{idx}.png"))
             ann = anns.get(pid)
             labels.append(1 if (ann is not None and ann.inside_polygons((x, y), True)) else 0)
-    return ArrayDataset(np.stack(images), np.asarray(labels, np.int32))
+    if not paths:
+        raise ValueError(
+            f"no Camelyon16 patches survived the split={split!r} slide rule "
+            f"{'(Tumor_>25/Normal_>35 fine-tune slides only)' if split == 'finetune' else ''} "
+            f"in {dirs}; check the list.txt slide ids or pass split=None"
+        )
+    ds = LazyImageDataset(paths, np.asarray(labels, np.int32), image_size)
+    if lazy is True or (lazy == "auto" and len(ds) > lazy_threshold):
+        return ds
+    return ds.materialize()
 
 
 # ---------------------------------------------------------------------------
@@ -296,12 +316,43 @@ def train_val_split(
 
 
 def labeled_fraction(
-    ds: ArrayDataset, fraction: float, seed: int = 42, with_replacement: bool = False
-) -> ArrayDataset:
-    """Subsample a labeled fraction (10/25/50/100%).  with_replacement=True
-    reproduces the reference's np.random.choice duplicates defect."""
-    n = len(ds)
-    k = int(np.ceil(fraction * n))
+    ds: ArrayDataset,
+    fraction: float,
+    seed: int = 42,
+    with_replacement: bool = False,
+    per_class: bool = False,
+):
+    """Subsample a labeled fraction (10/25/50/100%), floor-sized like the
+    reference's int(frac * n) (eval_BreastPathQ_SSL.py:298).
+
+    with_replacement=True reproduces the reference's np.random.choice
+    duplicates defect.  per_class=True subsamples each class separately —
+    the Camelyon16 drivers draw int(frac * n_class) tumor and normal indices
+    from their own loaders (eval_Camelyon_SSL.py:273-274,
+    eval_Camelyon_SSL_CR.py:318-319), which keeps the labeled pool
+    class-balanced; pooled sampling would starve the rarer class."""
     rng = np.random.default_rng(seed)
-    idx = rng.choice(n, size=k, replace=with_replacement)
+    if per_class:
+        parts = []
+        for cls in np.unique(ds.labels):
+            cls_idx = np.where(ds.labels == cls)[0]
+            k = int(fraction * len(cls_idx))
+            if k == 0:
+                # the reference's empty per-class sampler makes the zipped
+                # epoch 0 steps long (silent no-op training) — fail loudly
+                raise ValueError(
+                    f"labeled fraction {fraction} of {len(cls_idx)} "
+                    f"class-{cls} samples floors to zero — raise "
+                    f"--labeled_train or add data"
+                )
+            parts.append(rng.choice(cls_idx, size=k, replace=with_replacement))
+        idx = np.concatenate(parts)
+    else:
+        n = len(ds)
+        idx = rng.choice(n, size=int(fraction * n), replace=with_replacement)
+        if len(idx) == 0 and n > 0:
+            raise ValueError(
+                f"labeled fraction {fraction} of {n} samples floors to "
+                f"zero — raise --labeled_train or add data"
+            )
     return ds.subset(idx)

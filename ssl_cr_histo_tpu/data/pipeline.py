@@ -179,8 +179,7 @@ def zip_shortest(*iters):
 
 
 def balanced_batch_iterator(
-    images: np.ndarray,
-    labels: np.ndarray,
+    ds,
     batch_size: int,
     seed: int = 0,
 ) -> Iterator:
@@ -190,18 +189,24 @@ def balanced_batch_iterator(
     reference zips a tumor loader and a normal loader each of batch_size and
     concatenates (eval_Camelyon_SSL.py:281-291 loader construction, :50-75
     concat + torch.randperm shuffle).  Epoch length = the smaller class's
-    batch count (zip of two drop_last loaders)."""
+    batch count (zip of two drop_last loaders).
+
+    `ds` is an ArrayDataset or LazyImageDataset (datasets.py) — lazy
+    datasets decode each batch's pixels on demand, so reference-scale patch
+    sets never fully materialize in host RAM."""
     rng = np.random.default_rng(seed)
+    labels = ds.labels
     classes = np.unique(labels)
     if len(classes) != 2:
         raise ValueError("balanced_batch_iterator expects binary labels")
     idx_a = rng.permutation(np.where(labels == classes[0])[0])
     idx_b = rng.permutation(np.where(labels == classes[1])[0])
     n_batches = min(len(idx_a), len(idx_b)) // batch_size
+    gather = ds.decode if hasattr(ds, "decode") else (lambda sel: ds.images[sel])
     for i in range(n_batches):
         sel = np.concatenate(
             [idx_a[i * batch_size : (i + 1) * batch_size],
              idx_b[i * batch_size : (i + 1) * batch_size]]
         )
         rng.shuffle(sel)
-        yield images[sel], labels[sel]
+        yield gather(sel), labels[sel]

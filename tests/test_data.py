@@ -289,6 +289,21 @@ def test_camelyon16_patches_multi_dir(tmp_path):
     # single-dir behavior unchanged
     assert len(D.load_camelyon16_patches(str(nd), str(jsons), image_size=32)) == 3
 
+    # lazy=True returns a path-backed dataset that decodes to the same
+    # pixels/labels (reference-scale class dirs stay out of host RAM)
+    lazy = D.load_camelyon16_patches(f"{td},{nd}", str(jsons), image_size=32, lazy=True)
+    assert isinstance(lazy, D.LazyImageDataset)
+    np.testing.assert_array_equal(lazy.decode(np.arange(5)), ds.images)
+    np.testing.assert_array_equal(lazy.labels, ds.labels)
+
+    # filtering every patch out (pre-fine-tune slide ids like Tumor_001)
+    # raises a clear error naming the split rule instead of np.stack's
+    # 'need at least one array to stack'
+    (jsons / "Tumor_001.json").write_text(json.dumps(tumor_doc))
+    excluded = class_dir("pretrain_only", "Tumor_001", 50, [60])
+    with pytest.raises(ValueError, match="slide rule"):
+        D.load_camelyon16_patches(str(excluded), str(jsons), image_size=32)
+
 
 def test_splits_and_fraction():
     ds = D.ArrayDataset(np.arange(100)[:, None, None, None].astype(np.uint8), np.arange(100))
@@ -300,6 +315,27 @@ def test_splits_and_fraction():
     assert len(set(sub.labels.tolist())) == 20  # without replacement
     subr = D.labeled_fraction(tr, 0.25, seed=0, with_replacement=True)
     assert len(subr) == 20
+
+
+def test_labeled_fraction_per_class():
+    """Camelyon16 drivers subsample the labeled fraction PER CLASS —
+    int(frac * n_class) tumor and normal indices drawn from their own
+    loaders (eval_Camelyon_SSL.py:273-274, eval_Camelyon_SSL_CR.py:318-319)
+    — so the labeled pool stays class-balanced even when pooled sampling
+    would starve one class."""
+    labels = np.array([0] * 80 + [1] * 20)
+    ds = D.ArrayDataset(np.zeros((100, 1, 1, 1), np.uint8), labels)
+    sub = D.labeled_fraction(ds, 0.25, seed=0, per_class=True)
+    assert (sub.labels == 0).sum() == 20 and (sub.labels == 1).sum() == 5
+    # floor semantics match the reference's int(frac * n): 0.1 of 20 -> 2
+    sub = D.labeled_fraction(ds, 0.1, seed=0, per_class=True)
+    assert (sub.labels == 1).sum() == 2
+    # bootstrap (with replacement) keeps the per-class counts too
+    subr = D.labeled_fraction(ds, 0.5, seed=0, per_class=True, with_replacement=True)
+    assert (subr.labels == 0).sum() == 40 and (subr.labels == 1).sum() == 10
+    # a fraction flooring to zero fails loudly instead of training on nothing
+    with pytest.raises(ValueError, match="floors to zero"):
+        D.labeled_fraction(ds, 0.001, seed=0)
 
 
 # ---------------------------------------------------------------------------

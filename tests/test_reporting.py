@@ -2,6 +2,7 @@
 
 import numpy as np
 
+from ssl_cr_histo_tpu.data import datasets as D
 from ssl_cr_histo_tpu.data.pipeline import balanced_batch_iterator
 from ssl_cr_histo_tpu.eval import reporting as R
 from ssl_cr_histo_tpu.utils.profiling import StepTimer, Throughput
@@ -39,7 +40,8 @@ def test_balanced_batch_iterator():
     rows per yielded batch; epoch length = min-class count // batch_size."""
     images = np.arange(30)[:, None].astype(np.uint8)
     labels = np.array([0] * 20 + [1] * 10)
-    batches = list(balanced_batch_iterator(images, labels, batch_size=4, seed=0))
+    ds = D.ArrayDataset(images, labels)
+    batches = list(balanced_batch_iterator(ds, batch_size=4, seed=0))
     # smaller class has 10 -> 2 batches, each 4+4
     assert len(batches) == 2
     for imgs, labs in batches:
@@ -56,9 +58,9 @@ def test_balanced_epoch_len_matches_iterator():
     from ssl_cr_histo_tpu.cli.common import balanced_epoch_len
 
     labels = np.array([0] * 37 + [1] * 23)
-    images = np.zeros((60, 1), np.uint8)
+    ds = D.ArrayDataset(np.zeros((60, 1), np.uint8), labels)
     for bs in (4, 8, 16):
-        got = len(list(balanced_batch_iterator(images, labels, bs, seed=1)))
+        got = len(list(balanced_batch_iterator(ds, bs, seed=1)))
         assert got == balanced_epoch_len(labels, bs) or (
             got == 0 and balanced_epoch_len(labels, bs) == 1
         )
