@@ -45,6 +45,33 @@ def test_hed_matches_reference_formulation(rng):
     np.testing.assert_allclose(rgb, expected_rgb, atol=1e-5)
 
 
+def test_hed_pinned_goldens():
+    """Literal golden vectors (pinned once, not recomputed from the same
+    formulas) so a future 'fix' that edits both the implementation and the
+    inline transcription in test_hed_matches_reference_formulation cannot
+    silently change the law.  The hed2rgb rows equal (rgb + 1) / 2 exactly —
+    the legacy zero-shift invariant at analytic points."""
+    pix = jnp.asarray(
+        [[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [0.8, 0.2, 0.6], [0.2, 0.7, 0.1]],
+        jnp.float32,
+    )
+    hed = np.asarray(color.rgb2hed(pix))
+    golden_hed = np.array(
+        [
+            [-0.8388240, 0.2449323, -0.6113214],
+            [-1.3295047, 0.3882084, -0.9689217],
+            [-1.3065126, 0.6018804, -0.8241405],
+            [-0.9686686, 0.0238759, -0.5944228],
+        ],
+        np.float32,
+    )
+    np.testing.assert_allclose(hed, golden_hed, atol=2e-6)
+    rgb = np.asarray(color.hed2rgb(jnp.asarray(golden_hed)))
+    np.testing.assert_allclose(
+        rgb, (np.asarray(pix) + 1.0) / 2.0, atol=2e-6
+    )
+
+
 def test_hed_zero_shift_matches_legacy_behavior(rng):
     """The legacy skimage-0.15 formulation (which the reference pins,
     requirements.txt scikit-image=0.15.0) is NOT round-trip lossless: a zero
