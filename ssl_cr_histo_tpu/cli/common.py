@@ -174,11 +174,13 @@ def device_mesh(model_parallel: int = 1):
 
 
 def balanced_epoch_len(labels, batch_size: int, clamp: bool = True) -> int:
-    """Steps per epoch of the balanced binary iterator: the smaller class's
-    per-class batch count (data.pipeline.balanced_batch_iterator draws
-    `batch_size` from EACH class per step) — the epoch length LR milestones
-    must be computed from for Camelyon16.  clamp=False returns the true
-    count (possibly 0) for empty-epoch detection."""
+    """Steps per epoch of the balanced binary iterator: the smaller pool's
+    per-pool batch count (data.pipeline.balanced_batch_iterator draws
+    `batch_size` from EACH pool per step) — the epoch length LR milestones
+    must be computed from for Camelyon16.  Pass `datasets.grouping_key(ds)`
+    (source-dir pools when available, labels otherwise) so the count matches
+    the iterator's pools.  clamp=False returns the true count (possibly 0)
+    for empty-epoch detection."""
     import numpy as np
 
     counts = np.bincount(np.asarray(labels, dtype=np.int64))

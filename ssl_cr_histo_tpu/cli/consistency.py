@@ -160,9 +160,11 @@ def main(argv=None):
     # with per-class batch sizes B and B*mu (eval_Camelyon_SSL_CR.py:53-101,
     # :330-356) — so both its iterators here are the balanced per-class ones.
     if cfg.name == "camelyon16":
-        n_labeled_batches = balanced_epoch_len(labeled.labels, batch_size, clamp=False)
+        n_labeled_batches = balanced_epoch_len(
+            D.grouping_key(labeled), batch_size, clamp=False
+        )
         n_unlabeled_batches = balanced_epoch_len(
-            train.labels, batch_size * args.mu, clamp=False
+            D.grouping_key(train), batch_size * args.mu, clamp=False
         )
     else:
         n_labeled_batches = len(labeled) // batch_size

@@ -120,9 +120,11 @@ def load_train_val(args, cfg):
 
 def subsample_labeled(train, args, cfg):
     """Labeled-fraction subsampling with the reference's task semantics
-    (shared with cli.consistency): Camelyon16 subsamples PER CLASS
-    (eval_Camelyon_SSL.py:273-274, eval_Camelyon_SSL_CR.py:318-319); the
-    other tasks pool.  The reference applies np.random.choice even at
+    (shared with cli.consistency): Camelyon16 subsamples PER POOL — the
+    source dir (tumor/normal loader) when the layout has two, else the
+    polygon label (eval_Camelyon_SSL.py:273-274,
+    eval_Camelyon_SSL_CR.py:318-319, datasets.grouping_key); the other
+    tasks pool.  The reference applies np.random.choice even at
     labeled_train=1.0 — a with-replacement bootstrap that drops ~37% of
     samples — so --with_replacement subsamples unconditionally; the default
     without-replacement draw at fraction 1.0 is the identity and is
@@ -178,7 +180,7 @@ def main(argv=None):
     # not len(train) // batch (the reference decays per epoch at 30/60 —
     # eval_Camelyon_SSL.py MultiStepLR).
     if cfg.name == "camelyon16":
-        n_steps_per_epoch = balanced_epoch_len(train.labels, batch_size)
+        n_steps_per_epoch = balanced_epoch_len(D.grouping_key(train), batch_size)
     else:
         n_steps_per_epoch = max(len(train) // batch_size, 1)
     lr = args.lr or cfg.lr

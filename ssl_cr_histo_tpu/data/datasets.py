@@ -38,16 +38,23 @@ KATHER_LABELS: Dict[str, int] = {c: i for i, c in enumerate(KATHER_CLASSES)}
 
 @dataclass
 class ArrayDataset:
-    """Materialized (images uint8 NHWC, labels) pair with simple ops."""
+    """Materialized (images uint8 NHWC, labels) pair with simple ops.
+
+    `groups` (optional) records each item's source pool — for Camelyon16,
+    the index of the directory it was read from (see `grouping_key`)."""
 
     images: np.ndarray
     labels: np.ndarray
+    groups: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return len(self.images)
 
     def subset(self, idx) -> "ArrayDataset":
-        return ArrayDataset(self.images[idx], self.labels[idx])
+        return ArrayDataset(
+            self.images[idx], self.labels[idx],
+            None if self.groups is None else self.groups[idx],
+        )
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
                 drop_last: bool = True):
@@ -75,6 +82,7 @@ class LazyImageDataset:
     labels: np.ndarray
     image_size: int
     decode_threads: int = 8
+    groups: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -84,15 +92,20 @@ class LazyImageDataset:
         return LazyImageDataset(
             [self.paths[int(i)] for i in idx], self.labels[idx],
             self.image_size, self.decode_threads,
+            None if self.groups is None else self.groups[idx],
         )
 
     def decode(self, idx) -> np.ndarray:
         from concurrent.futures import ThreadPoolExecutor
 
         def one(i):
-            img = cv2.cvtColor(
-                cv2.imread(self.paths[int(i)], cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB
-            )
+            raw = cv2.imread(self.paths[int(i)], cv2.IMREAD_COLOR)
+            if raw is None:  # deleted/corrupt file: name it instead of
+                # crashing later inside cvtColor with no path in the message
+                raise FileNotFoundError(
+                    f"unreadable image {self.paths[int(i)]!r}"
+                )
+            img = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
             return _resize(img, self.image_size)
 
         with ThreadPoolExecutor(max_workers=self.decode_threads) as pool:
@@ -110,7 +123,25 @@ class LazyImageDataset:
             yield self.decode(sel), self.labels[sel]
 
     def materialize(self) -> ArrayDataset:
-        return ArrayDataset(self.decode(np.arange(len(self))), self.labels)
+        return ArrayDataset(
+            self.decode(np.arange(len(self))), self.labels, self.groups
+        )
+
+
+def grouping_key(ds) -> np.ndarray:
+    """Pool key for Camelyon16 class-balanced batching and per-class
+    labeled subsampling.  The reference keys both on the SOURCE DIRECTORY —
+    it builds a separate loader per patch dir (tumor/normal,
+    eval_Camelyon_SSL.py:226-232) and draws/zips per loader — NOT on the
+    polygon label, so an annotation-boundary patch in the tumor dir rides
+    in the tumor pool even when its center is polygon-negative.  Uses the
+    dataset's source-dir `groups` when they distinguish >=2 pools; falls
+    back to labels for single-dir layouts (where dir membership carries no
+    class information)."""
+    g = getattr(ds, "groups", None)
+    if g is not None and len(np.unique(g)) >= 2:
+        return np.asarray(g)
+    return np.asarray(ds.labels)
 
 
 def _resize(img: np.ndarray, size: int) -> np.ndarray:
@@ -175,12 +206,27 @@ def _camelyon_list(data_path: str) -> List[Tuple[int, str, int, int]]:
     return out
 
 
+_ANNS_CACHE: Dict[str, Tuple[tuple, Dict[str, Annotation]]] = {}
+
+
 def _load_annotations(json_path: str) -> Dict[str, Annotation]:
+    """Parse every per-WSI annotation JSON under json_path, memoized on the
+    dir's (filename, mtime) listing — the train and VALID loaders default to
+    the same --json_path (cli/finetune.py load_train_val), and re-parsing
+    hundreds of polygon files twice per startup is pure waste."""
+    root = os.path.realpath(json_path)
+    files = sorted(p for p in os.listdir(json_path) if p.endswith(".json"))
+    stamp = tuple(
+        (p, os.path.getmtime(os.path.join(json_path, p))) for p in files
+    )
+    cached = _ANNS_CACHE.get(root)
+    if cached is not None and cached[0] == stamp:
+        return cached[1]
     anns = {}
-    for p in os.listdir(json_path):
-        if p.endswith(".json"):
-            pid = p[: -len(".json")]
-            anns[pid] = Annotation().from_json(os.path.join(json_path, p))
+    for p in files:
+        pid = p[: -len(".json")]
+        anns[pid] = Annotation().from_json(os.path.join(json_path, p))
+    _ANNS_CACHE[root] = (stamp, anns)
     return anns
 
 
@@ -231,7 +277,13 @@ def load_camelyon16_patches(
     LazyImageDataset that decodes per batch — matching the reference's lazy
     per-item decode (dataset.py:735-739) and keeping reference-scale patch
     sets (tens of thousands of 256x256 PNGs per class dir) out of host RAM.
-    Labels are always eager (splits and class balancing need them).
+    Labels are always eager (splits and class balancing need them), and
+    every listed file's existence is checked up front so a list.txt longer
+    than the extracted png set fails at load, not hours into a lazy epoch.
+
+    The returned dataset's `groups` records each patch's source-dir index —
+    the pool key for balanced batching and per-class subsampling
+    (`grouping_key`): the reference draws those per DIRECTORY loader.
     """
     dirs = split_data_dirs(data_path)
     if not dirs:
@@ -239,7 +291,8 @@ def load_camelyon16_patches(
     anns = _load_annotations(json_path)
     paths: List[str] = []
     labels: List[int] = []
-    for d in dirs:
+    groups: List[int] = []
+    for dir_i, d in enumerate(dirs):
         for idx, pid, x, y in _camelyon_list(d):
             keep = (
                 split is None
@@ -248,7 +301,14 @@ def load_camelyon16_patches(
             )
             if not keep:
                 continue
-            paths.append(os.path.join(d, f"{idx}.png"))
+            p = os.path.join(d, f"{idx}.png")
+            if not os.path.isfile(p):
+                raise FileNotFoundError(
+                    f"list.txt line {idx} of {d!r} names a missing patch "
+                    f"file {p!r} (list longer than the extracted png set?)"
+                )
+            paths.append(p)
+            groups.append(dir_i)
             ann = anns.get(pid)
             labels.append(1 if (ann is not None and ann.inside_polygons((x, y), True)) else 0)
     if not paths:
@@ -257,7 +317,10 @@ def load_camelyon16_patches(
             f"{'(Tumor_>25/Normal_>35 fine-tune slides only)' if split == 'finetune' else ''} "
             f"in {dirs}; check the list.txt slide ids or pass split=None"
         )
-    ds = LazyImageDataset(paths, np.asarray(labels, np.int32), image_size)
+    ds = LazyImageDataset(
+        paths, np.asarray(labels, np.int32), image_size,
+        groups=np.asarray(groups, np.int32),
+    )
     if lazy is True or (lazy == "auto" and len(ds) > lazy_threshold):
         return ds
     return ds.materialize()
@@ -326,23 +389,27 @@ def labeled_fraction(
     reference's int(frac * n) (eval_BreastPathQ_SSL.py:298).
 
     with_replacement=True reproduces the reference's np.random.choice
-    duplicates defect.  per_class=True subsamples each class separately —
-    the Camelyon16 drivers draw int(frac * n_class) tumor and normal indices
-    from their own loaders (eval_Camelyon_SSL.py:273-274,
+    duplicates defect.  per_class=True subsamples each pool separately —
+    the Camelyon16 drivers draw int(frac * n) tumor and normal indices from
+    their own per-DIRECTORY loaders (eval_Camelyon_SSL.py:273-274,
     eval_Camelyon_SSL_CR.py:318-319), which keeps the labeled pool
-    class-balanced; pooled sampling would starve the rarer class."""
+    balanced; pooled sampling would starve the rarer pool.  The pool key is
+    `grouping_key(ds)`: the source dir when the dataset records >=2 of
+    them (exact reference semantics, including annotation-boundary patches
+    riding in their dir's pool), else the polygon label."""
     rng = np.random.default_rng(seed)
     if per_class:
         parts = []
-        for cls in np.unique(ds.labels):
-            cls_idx = np.where(ds.labels == cls)[0]
+        key = grouping_key(ds)
+        for cls in np.unique(key):
+            cls_idx = np.where(key == cls)[0]
             k = int(fraction * len(cls_idx))
             if k == 0:
                 # the reference's empty per-class sampler makes the zipped
                 # epoch 0 steps long (silent no-op training) — fail loudly
                 raise ValueError(
                     f"labeled fraction {fraction} of {len(cls_idx)} "
-                    f"class-{cls} samples floors to zero — raise "
+                    f"pool-{cls} samples floors to zero — raise "
                     f"--labeled_train or add data"
                 )
             parts.append(rng.choice(cls_idx, size=k, replace=with_replacement))

@@ -183,24 +183,35 @@ def balanced_batch_iterator(
     batch_size: int,
     seed: int = 0,
 ) -> Iterator:
-    """Class-balanced batches with the reference's Camelyon16 dual-loader
-    semantics: `batch_size` samples from EACH binary class per step, so each
+    """Pool-balanced batches with the reference's Camelyon16 dual-loader
+    semantics: `batch_size` samples from EACH of two pools per step, so each
     yielded batch has `2 * batch_size` rows, concatenated and shuffled.  The
     reference zips a tumor loader and a normal loader each of batch_size and
     concatenates (eval_Camelyon_SSL.py:281-291 loader construction, :50-75
-    concat + torch.randperm shuffle).  Epoch length = the smaller class's
+    concat + torch.randperm shuffle).  Epoch length = the smaller pool's
     batch count (zip of two drop_last loaders).
+
+    The pool key is `datasets.grouping_key(ds)` — the SOURCE DIRECTORY when
+    the dataset records two of them (the reference's loaders are per patch
+    dir, so annotation-boundary patches ride in their dir's pool), else the
+    polygon label.  Yielded labels are always the polygon labels.
 
     `ds` is an ArrayDataset or LazyImageDataset (datasets.py) — lazy
     datasets decode each batch's pixels on demand, so reference-scale patch
     sets never fully materialize in host RAM."""
+    from ssl_cr_histo_tpu.data.datasets import grouping_key
+
     rng = np.random.default_rng(seed)
     labels = ds.labels
-    classes = np.unique(labels)
+    key = grouping_key(ds)
+    classes = np.unique(key)
     if len(classes) != 2:
-        raise ValueError("balanced_batch_iterator expects binary labels")
-    idx_a = rng.permutation(np.where(labels == classes[0])[0])
-    idx_b = rng.permutation(np.where(labels == classes[1])[0])
+        raise ValueError(
+            "balanced_batch_iterator expects two pools (binary labels or "
+            "two source dirs)"
+        )
+    idx_a = rng.permutation(np.where(key == classes[0])[0])
+    idx_b = rng.permutation(np.where(key == classes[1])[0])
     n_batches = min(len(idx_a), len(idx_b)) // batch_size
     gather = ds.decode if hasattr(ds, "decode") else (lambda sel: ds.images[sel])
     for i in range(n_batches):

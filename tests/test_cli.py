@@ -403,20 +403,14 @@ def test_finetune_cli_breastpathq_regression(tmp_path):
 
 
 def _make_camelyon_class_dir(root, name, pid, coord, n, size=32, seed=0):
-    """One single-class patch dir in the reference's layout: its own
-    list.txt + line-indexed '{i}.png' (the reference ships tumor and normal
-    patches as separate dirs, eval_Camelyon_SSL.py:226-232)."""
-    d = root / name
-    os.makedirs(d)
-    rng = np.random.default_rng(seed)
-    base = 200 if pid.startswith("Tumor") else 60
-    with open(d / "list.txt", "w") as f:
-        for i in range(n):
-            f.write(f"{pid},{coord},{coord}\n")
-            img = np.full((size, size, 3), base, np.uint8)
-            img += rng.integers(0, 30, img.shape, dtype=np.uint8)
-            cv2.imwrite(str(d / f"{i}.png"), img)
-    return d
+    """One single-class patch dir in the reference's layout (the reference
+    ships tumor and normal patches as separate dirs,
+    eval_Camelyon_SSL.py:226-232).  Layout contract: camelyon_fixtures."""
+    from camelyon_fixtures import class_entries, write_patch_dir
+
+    return write_patch_dir(
+        root / name, class_entries(pid, coord, n, seed=seed, size=size), size
+    )
 
 
 def test_finetune_cli_camelyon16_balanced(tmp_path, capsys):
@@ -554,28 +548,25 @@ def test_consistency_cli_breastpathq_regression(tmp_path):
 
 
 def _make_camelyon_patch_dir(root, n=16, size=32):
-    """list.txt patch layout with polygon JSONs: 8 tumor (bright, inside the
-    polygon) / 8 normal (dark) patches."""
-    data = root / "patches"
-    jsons = root / "jsons"
-    os.makedirs(data)
-    os.makedirs(jsons)
+    """Single mixed-class patch dir with polygon JSONs: alternating tumor
+    (bright, inside the polygon) / normal (dark) patches.  Layout contract:
+    camelyon_fixtures."""
+    from camelyon_fixtures import write_annotation_jsons, write_patch_dir
+
     rng = np.random.default_rng(0)
-    with open(data / "list.txt", "w") as f:
-        for i in range(n):
-            pid = "Tumor_026" if i % 2 == 0 else "Normal_040"
-            x = 50 if i % 2 == 0 else 500
-            f.write(f"{pid},{x},{x}\n")
-            base = 200 if pid.startswith("Tumor") else 60
-            img = np.full((size, size, 3), base, np.uint8)
-            img += rng.integers(0, 30, img.shape, dtype=np.uint8)
-            cv2.imwrite(str(data / f"{i}.png"), img)
-    tumor_doc = {
-        "positive": [{"name": "t", "vertices": [[0, 0], [100, 0], [100, 100], [0, 100]]}],
-        "negative": [],
-    }
-    (jsons / "Tumor_026.json").write_text(json.dumps(tumor_doc))
-    (jsons / "Normal_040.json").write_text(json.dumps({"positive": [], "negative": []}))
+
+    def noisy(base):
+        return np.full((size, size, 3), base, np.uint8) + rng.integers(
+            0, 30, (size, size, 3), dtype=np.uint8
+        )
+
+    entries = [
+        ("Tumor_026", 50, noisy(200)) if i % 2 == 0
+        else ("Normal_040", 500, noisy(60))
+        for i in range(n)
+    ]
+    data = write_patch_dir(root / "patches", entries, size)
+    jsons = write_annotation_jsons(root / "jsons")
     return data, jsons
 
 

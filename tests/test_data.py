@@ -258,25 +258,14 @@ def test_camelyon16_patches_multi_dir(tmp_path):
     with its own list.txt and line-indexed '{idx}.png'
     (eval_Camelyon_SSL.py:226-232); a comma-joined data_path loads both,
     resolving each idx against its own directory."""
-    import cv2
+    from camelyon_fixtures import write_annotation_jsons, write_patch_dir
 
-    jsons = tmp_path / "jsons"
-    os.makedirs(jsons)
-    tumor_doc = {
-        "positive": [{"name": "t", "vertices": [[0, 0], [100, 0], [100, 100], [0, 100]]}],
-        "negative": [],
-    }
-    (jsons / "Tumor_026.json").write_text(json.dumps(tumor_doc))
-    (jsons / "Normal_040.json").write_text(json.dumps({"positive": [], "negative": []}))
+    jsons = write_annotation_jsons(tmp_path / "jsons")
 
     def class_dir(name, pid, coord, vals):
-        d = tmp_path / name
-        os.makedirs(d)
-        with open(d / "list.txt", "w") as f:
-            for i, v in enumerate(vals):
-                f.write(f"{pid},{coord},{coord}\n")
-                cv2.imwrite(str(d / f"{i}.png"), np.full((32, 32, 3), v, np.uint8))
-        return d
+        return write_patch_dir(
+            tmp_path / name, [(pid, coord, v) for v in vals]
+        )
 
     td = class_dir("tumor", "Tumor_026", 50, [10, 20])
     nd = class_dir("normal", "Normal_040", 500, [30, 40, 50])
@@ -299,10 +288,87 @@ def test_camelyon16_patches_multi_dir(tmp_path):
     # filtering every patch out (pre-fine-tune slide ids like Tumor_001)
     # raises a clear error naming the split rule instead of np.stack's
     # 'need at least one array to stack'
-    (jsons / "Tumor_001.json").write_text(json.dumps(tumor_doc))
+    write_annotation_jsons(jsons, pids=("Tumor_001",))
     excluded = class_dir("pretrain_only", "Tumor_001", 50, [60])
     with pytest.raises(ValueError, match="slide rule"):
         D.load_camelyon16_patches(str(excluded), str(jsons), image_size=32)
+
+
+def test_camelyon_pools_key_on_source_dir(tmp_path):
+    """The reference's Camelyon16 balancing/subsampling pools are per
+    SOURCE DIRECTORY (one loader per patch dir, eval_Camelyon_SSL.py:226-232
+    + :273-274), not per polygon label: an annotation-boundary patch in the
+    tumor dir whose center is polygon-negative still rides in the tumor
+    pool.  grouping_key must reproduce that, and fall back to labels for
+    single-dir layouts."""
+    from camelyon_fixtures import write_annotation_jsons, write_patch_dir
+
+    jsons = write_annotation_jsons(tmp_path / "jsons")
+    # tumor dir: 3 patches inside the polygon + 1 boundary patch outside it
+    # (bright pixels mark dir membership for the batch check below)
+    td = write_patch_dir(
+        tmp_path / "tumor",
+        [("Tumor_026", 50, 200)] * 3 + [("Tumor_026", 500, 200)],
+    )
+    nd = write_patch_dir(tmp_path / "normal", [("Normal_040", 500, 60)] * 6)
+
+    ds = D.load_camelyon16_patches(f"{td},{nd}", str(jsons), image_size=32)
+    np.testing.assert_array_equal(ds.groups, [0] * 4 + [1] * 6)
+    np.testing.assert_array_equal(ds.labels, [1, 1, 1, 0] + [0] * 6)
+    np.testing.assert_array_equal(D.grouping_key(ds), ds.groups)
+
+    # per-pool subsample draws int(frac * n_dir) from each DIR: 0.5 of the
+    # 4-patch tumor dir -> 2 (label-keyed pools would draw 1 from the 3
+    # polygon-positives and 3 from the 7 polygon-negatives)
+    sub = D.labeled_fraction(ds, 0.5, seed=0, per_class=True)
+    assert (sub.groups == 0).sum() == 2 and (sub.groups == 1).sum() == 3
+
+    # the balanced iterator draws batch_size from EACH dir: every batch has
+    # 2 bright (tumor-dir) rows even though only 3 of 4 are polygon-positive
+    for imgs, labels in P.balanced_batch_iterator(ds, batch_size=2, seed=0):
+        bright = (imgs[:, 0, 0, 0] > 128).sum()
+        assert imgs.shape[0] == 4 and bright == 2
+
+    # single-dir layouts carry no dir information: key falls back to labels
+    mixed = ds.subset(np.arange(10))
+    mixed.groups[:] = 0
+    np.testing.assert_array_equal(D.grouping_key(mixed), mixed.labels)
+
+
+def test_camelyon_missing_patch_fails_at_load(tmp_path):
+    """A list.txt longer than the extracted png set must fail AT LOAD with
+    the offending path — not hours into a lazy epoch inside cv2.cvtColor."""
+    from camelyon_fixtures import write_annotation_jsons, write_patch_dir
+
+    jsons = write_annotation_jsons(tmp_path / "jsons")
+    d = write_patch_dir(tmp_path / "patches", [("Tumor_026", 50, 200)] * 2)
+    with open(d / "list.txt", "a") as f:
+        f.write("Tumor_026,50,50\n")  # line 2 has no 2.png
+    with pytest.raises(FileNotFoundError, match="2.png"):
+        D.load_camelyon16_patches(str(d), str(jsons), image_size=32)
+
+    # a file deleted AFTER indexing is named by the lazy decode
+    d = write_patch_dir(tmp_path / "patches", [("Tumor_026", 50, 200)] * 2)
+    ds = D.load_camelyon16_patches(str(d), str(jsons), image_size=32, lazy=True)
+    os.remove(d / "1.png")
+    with pytest.raises(FileNotFoundError, match="1.png"):
+        ds.decode([1])
+
+
+def test_annotation_parse_memoized(tmp_path):
+    """_load_annotations memoizes on the dir's (filename, mtime) listing —
+    the train and VALID loaders default to the same --json_path, and
+    re-parsing hundreds of polygon files twice per startup is pure waste.
+    An edited file (new mtime) invalidates the entry."""
+    from camelyon_fixtures import write_annotation_jsons
+
+    jsons = write_annotation_jsons(tmp_path / "jsons")
+    first = D._load_annotations(str(jsons))
+    assert D._load_annotations(str(jsons)) is first
+    os.utime(jsons / "Tumor_026.json", (0, 12345))
+    fresh = D._load_annotations(str(jsons))
+    assert fresh is not first
+    assert fresh.keys() == first.keys()
 
 
 def test_splits_and_fraction():
