@@ -58,6 +58,31 @@ def test_kather_folder_contract(tmp_path):
     assert off_diag.min() > 100.0  # >10 gray-levels apart in RGB
 
 
+def test_camelyon_two_dir_contract(tmp_path):
+    """The rehearsal's Camelyon16 data must be the reference's TWO-DIR
+    layout (tumor dir + normal dir per split, dedicated VALID dirs), load
+    through the real reader with per-dir groups, and carry the learnable
+    tumor/normal signal."""
+    train_path, val_path = R.make_camelyon_patches(
+        str(tmp_path), str(tmp_path / "jsons"), n_per_class=6,
+        n_valid_per_class=2, size=32,
+    )
+    assert train_path.count(",") == 1 and val_path.count(",") == 1
+
+    ds = D.load_camelyon16_patches(train_path, str(tmp_path / "jsons"), image_size=32)
+    assert len(ds) == 12
+    np.testing.assert_array_equal(ds.groups, [0] * 6 + [1] * 6)
+    np.testing.assert_array_equal(ds.labels, [1] * 6 + [0] * 6)
+    np.testing.assert_array_equal(D.grouping_key(ds), ds.groups)
+    va = D.load_camelyon16_patches(val_path, str(tmp_path / "jsons"), image_size=32)
+    assert len(va) == 4 and va.labels.sum() == 2
+
+    # separable signal: tumor patches are the darker, denser palette
+    tumor_mean = ds.images[ds.labels == 1].mean()
+    normal_mean = ds.images[ds.labels == 0].mean()
+    assert tumor_mean < normal_mean - 10
+
+
 @pytest.mark.parametrize("recipe", ["camelyon16", "breastpathq", "kather"])
 def test_recipe_table(recipe):
     run, out, ft, cr = R.RECIPES[recipe]

@@ -76,29 +76,45 @@ def make_pretrain_wsis(out_dir, n_slides=2, size=6400, seed=0):
         np.save(os.path.join(out_dir, f"slide{i}.npy"), level0)
 
 
-def make_camelyon_patches(out_dir, json_dir, n_per_class=300, size=256, seed=1):
-    """Camelyon16-layout labeled patch set: list.txt line-indexed {i}.png,
-    Tumor_/Normal_ id rule, polygon labels (data/datasets.py C9)."""
+def _camelyon_class_dir(out_dir, pid, coord, base, density, n, size, rng):
+    """One single-class patch dir: its own list.txt + line-indexed {i}.png
+    (the reference ships each class as a separate directory,
+    eval_Camelyon_SSL.py:226-233)."""
     import cv2
 
     os.makedirs(out_dir, exist_ok=True)
-    os.makedirs(json_dir, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    lines = []
-    for i in range(2 * n_per_class):
-        tumor = i % 2 == 0
-        pid = "Tumor_026" if tumor else "Normal_040"
-        x = 50 if tumor else 500  # tumor points inside the polygon
-        lines.append((pid, x, x))
     with open(os.path.join(out_dir, "list.txt"), "w") as f:
-        for i, (pid, x, y) in enumerate(lines):
-            f.write(f"{pid},{x},{y}\n")
-            img = _tissue_texture(
-                rng, size, size,
-                TUMOR_BASE if pid.startswith("Tumor") else NORMAL_BASE,
-                nucleus_density=0.002 if pid.startswith("Tumor") else 0.0005,
-            )
+        for i in range(n):
+            f.write(f"{pid},{coord},{coord}\n")
+            img = _tissue_texture(rng, size, size, base, nucleus_density=density)
             cv2.imwrite(os.path.join(out_dir, f"{i}.png"), img[:, :, ::-1])
+    return out_dir
+
+
+def make_camelyon_patches(out_root, json_dir, n_per_class=300,
+                          n_valid_per_class=None, size=256, seed=1):
+    """Camelyon16 patch sets in the reference's directory layout: one TUMOR
+    dir + one NORMAL dir per split, each with its own list.txt + line-indexed
+    {i}.png, plus dedicated VALID dirs (eval_Camelyon_SSL.py:226-233
+    --train_tumor_image_pth/--train_normal_image_pth + *_VALID) and polygon
+    JSONs (data/datasets.py C9).  The two-dir layout exercises the per-dir
+    pool semantics (datasets.grouping_key) end-to-end.
+
+    Returns (train_path, val_path): comma-joined dir pairs for the CLIs."""
+    if n_valid_per_class is None:
+        n_valid_per_class = max(n_per_class // 5, 4)
+    rng = np.random.default_rng(seed)
+    dirs = {}
+    for split, n in (("patches", n_per_class), ("valid", n_valid_per_class)):
+        for cls, pid, coord, base, density in (
+            ("tumor", "Tumor_026", 50, TUMOR_BASE, 0.002),
+            ("normal", "Normal_040", 500, NORMAL_BASE, 0.0005),
+        ):
+            dirs[f"{split}_{cls}"] = _camelyon_class_dir(
+                os.path.join(out_root, f"{split}_{cls}"),
+                pid, coord, base, density, n, size, rng,
+            )
+    os.makedirs(json_dir, exist_ok=True)
     tumor_doc = {
         "positive": [{"name": "t", "vertices": [[0, 0], [100, 0], [100, 100], [0, 100]]}],
         "negative": [],
@@ -107,6 +123,10 @@ def make_camelyon_patches(out_dir, json_dir, n_per_class=300, size=256, seed=1):
         json.dump(tumor_doc, f)
     with open(os.path.join(json_dir, "Normal_040.json"), "w") as f:
         json.dump({"positive": [], "negative": []}, f)
+    return (
+        f"{dirs['patches_tumor']},{dirs['patches_normal']}",
+        f"{dirs['valid_tumor']},{dirs['valid_normal']}",
+    )
 
 
 def make_heatmap_slide(wsi_dir, mask_dir, gt_dir, size=8192, resolution=256, seed=7):
@@ -215,6 +235,13 @@ def make_kather_folder(out_dir, n_per_class=40, size=224, seed=5):
 # --------------------------------------------------------------------------
 
 
+def _size_argv(args):
+    """--image_size passthrough for the stage CLIs when smoking the recipe
+    below the 256^2 config of record.  The sentinel 256 passes nothing, so
+    every task keeps its own default (incl. Kather's 224)."""
+    return ["--image_size", str(args.image_size)] if args.image_size != 256 else []
+
+
 def _csv_rows(path):
     lines = open(path).read().strip().splitlines()[1:]
     return [[float(v) for v in ln.split(",") if v.strip() != ""] for ln in lines]
@@ -244,14 +271,17 @@ def stage_pretrain(args, W, report):
         print(f"== pretrain reused: {args.stage1_ckpt}")
         return args.stage1_ckpt
 
+    tile = args.image_size
     if not args.skip_data:
-        make_pretrain_wsis(os.path.join(W, "wsis"))
+        # 25 tiles across, as in the 6400/256 config of record
+        make_pretrain_wsis(os.path.join(W, "wsis"), size=25 * tile)
     s1 = _fresh_dir(os.path.join(W, "stage1"))
     t0 = time.time()
     pretrain.main([
         "--train_image_pth", os.path.join(W, "wsis"),
         "--variant", "v1",
-        "--tile_h", "256", "--tile_w", "256", "--tile_stride", "128",
+        "--tile_h", str(tile), "--tile_w", str(tile),
+        "--tile_stride", str(tile // 2),
         "--batch_size", "64",
         "--num_epoch", str(args.pretrain_epochs),
         "--steps_per_epoch", str(args.pretrain_steps_per_epoch),
@@ -267,7 +297,7 @@ def stage_pretrain(args, W, report):
         "seconds": round(dt, 1),
         "epochs": args.pretrain_epochs,
         "steps": n_steps,
-        "batch": 64, "tile": 256,
+        "batch": 64, "tile": tile,
         "train_loss": [r[1] for r in rows],
         "val_loss": [r[3] for r in rows],
         "val_acc": [r[4] for r in rows],
@@ -291,6 +321,7 @@ def stage_finetune(args, report, task, data_argv, stage1_ckpt, save_dir,
     finetune.main([
         "--task", task,
         *data_argv,
+        *_size_argv(args),
         "--model_path", stage1_ckpt,
         "--num_epoch", str(args.finetune_epochs),
         "--labeled_train", "1.0",
@@ -325,6 +356,7 @@ def stage_consistency(args, report, task, data_argv, ft_ckpt, save_dir,
     consistency.main([
         "--task", task,
         *data_argv,
+        *_size_argv(args),
         "--finetune_ckpt", ft_ckpt,
         "--num_epoch", str(args.cr_epochs),
         "--labeled_train", "0.5",
@@ -364,38 +396,48 @@ def run_camelyon16(args, W, report):
     from ssl_cr_histo_tpu.cli import finetune, froc, heatmap
 
     t0 = time.time()
+    # the two-dir reference layout (tumor/normal + dedicated VALID dirs) is
+    # deterministic given the args, so recompute the paths even on
+    # --skip_data reruns
+    train_path = f"{os.path.join(W, 'patches_tumor')},{os.path.join(W, 'patches_normal')}"
+    val_path = f"{os.path.join(W, 'valid_tumor')},{os.path.join(W, 'valid_normal')}"
     if not args.skip_data:
-        make_camelyon_patches(
-            os.path.join(W, "patches"), os.path.join(W, "jsons"),
+        train_path, val_path = make_camelyon_patches(
+            W, os.path.join(W, "jsons"),
             n_per_class=args.n_patches_per_class,
+            size=args.image_size,
         )
         make_heatmap_slide(
             os.path.join(W, "hm_wsi"), os.path.join(W, "hm_mask"),
             os.path.join(W, "hm_gt"),
+            size=32 * args.image_size,       # 32x32 patch grid as at 8192/256
+            resolution=args.image_size,
         )
     report["stages"]["data"] = {"seconds": round(time.time() - t0, 1)}
     print(f"== data ready ({report['stages']['data']['seconds']}s)")
 
     s1_ckpt = stage_pretrain(args, W, report)
-    data_argv = ["--train_path", os.path.join(W, "patches"),
-                 "--json_path", os.path.join(W, "jsons")]
+    data_argv = ["--train_path", train_path,
+                 "--json_path", os.path.join(W, "jsons"),
+                 "--val_path", val_path]
     s2 = stage_finetune(args, report, "camelyon16", data_argv, s1_ckpt,
                         os.path.join(W, "stage2"),
-                        labeled_batch_per_step=32)  # 16 per class
+                        labeled_batch_per_step=32)  # 16 per dir pool
     s3 = stage_consistency(args, report, "camelyon16", data_argv, s2,
                            os.path.join(W, "stage3"),
-                           labeled_batch_per_step=16,      # 8 per class
-                           unlabeled_batch_per_step=112)   # 8*mu7 per class
+                           labeled_batch_per_step=16,      # 8 per pool
+                           unlabeled_batch_per_step=112)   # 8*mu7 per pool
 
     # ---- evaluation mode (reference eval blocks: confusion/sens/spec/F1 +
-    # binary AUC, sharded inference)
+    # binary AUC, sharded inference) on the held-out VALID dirs
     s3_dir = os.path.dirname(s3)
     t0 = time.time()
     finetune.main([
         "--task", "camelyon16",
         "--mode", "evaluation",
-        "--test_path", os.path.join(W, "patches"),
+        "--test_path", val_path,
         "--json_path", os.path.join(W, "jsons"),
+        *_size_argv(args),
         "--finetune_ckpt", s3,
         "--save_dir", s3_dir,
     ])
@@ -416,6 +458,7 @@ def run_camelyon16(args, W, report):
         "--test_image_pth", os.path.join(W, "hm_wsi"),
         "--test_mask_pth", os.path.join(W, "hm_mask"),
         "--probs_map_path", hm_out,
+        *_size_argv(args),
         "--finetune_ckpt", s3,
     ])
     dt = time.time() - t0
@@ -447,7 +490,13 @@ def run_camelyon16(args, W, report):
         "--probs_map_path", hm_out,
         "--gt_path", os.path.join(W, "hm_gt"),
         "--threshold", str(args.froc_threshold),
-        "--itc_um", "275", "--mask_mpp", "64",  # 0.25 um/px * 256 downsample
+        # 0.25 um/px * the mask's downsample (= patch resolution).  The ITC
+        # bound is the protocol's 275 um at the 256^2 config of record and
+        # scales with the smoke's geometry so the synthetic lesion keeps the
+        # same cell footprint relative to the bound
+        "--itc_um", str(275 * args.image_size / 256),
+        "--mask_mpp", str(0.25 * args.image_size),
+        "--resolution", str(args.image_size),
         "--out", froc_out,
     ])
     fr = json.load(open(froc_out))
@@ -466,7 +515,7 @@ def run_breastpathq(args, W, report):
     train_dir = os.path.join(W, "bpq_train")
     eval_a, eval_b = os.path.join(W, "bpq_eval_a"), os.path.join(W, "bpq_eval_b")
     if not args.skip_data:
-        make_breastpathq_h5(train_dir, eval_a, eval_b)
+        make_breastpathq_h5(train_dir, eval_a, eval_b, size=args.image_size)
     report["stages"]["data"] = {"seconds": round(time.time() - t0, 1)}
     print(f"== data ready ({report['stages']['data']['seconds']}s)")
 
@@ -489,6 +538,7 @@ def run_breastpathq(args, W, report):
         "--mode", "evaluation",
         "--test_path", eval_a,
         "--test_path_b", eval_b,
+        *_size_argv(args),
         "--finetune_ckpt", s3,
         "--save_dir", s3_dir,
     ])
@@ -511,7 +561,10 @@ def run_kather(args, W, report):
     t0 = time.time()
     data_dir = os.path.join(W, "kather")
     if not args.skip_data:
-        make_kather_folder(data_dir, n_per_class=args.n_patches_per_class // 5)
+        make_kather_folder(
+            data_dir, n_per_class=args.n_patches_per_class // 5,
+            size=(args.image_size if args.image_size != 256 else 224),
+        )
     report["stages"]["data"] = {"seconds": round(time.time() - t0, 1)}
     print(f"== data ready ({report['stages']['data']['seconds']}s)")
 
@@ -533,6 +586,7 @@ def run_kather(args, W, report):
         "--task", "kather",
         "--mode", "evaluation",
         "--test_path", data_dir,
+        *_size_argv(args),
         "--finetune_ckpt", s3,
         "--save_dir", s3_dir,
     ])
@@ -575,6 +629,12 @@ def main(argv=None):
                    help="candidate threshold for the FROC stage (the few-epoch\n"
                         "rehearsal model is not saturated; real runs use 0.5)")
     p.add_argument("--n_patches_per_class", type=int, default=300)
+    p.add_argument("--image_size", type=int, default=256,
+                   help="tile/patch resolution; 256 = the config of record "
+                        "(Kather keeps its 224 default).  Smaller values "
+                        "(e.g. 32) smoke the FULL wiring at CPU scale: the "
+                        "synthetic data, pretrain tiles, heatmap grid, and "
+                        "FROC mpp all scale with it")
     p.add_argument("--skip_data", action="store_true",
                    help="reuse --workdir's existing synthetic data")
     args = p.parse_args(argv)
