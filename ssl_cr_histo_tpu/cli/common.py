@@ -180,10 +180,20 @@ def balanced_epoch_len(labels, batch_size: int, clamp: bool = True) -> int:
     must be computed from for Camelyon16.  Pass `datasets.grouping_key(ds)`
     (source-dir pools when available, labels otherwise) so the count matches
     the iterator's pools.  clamp=False returns the true count (possibly 0)
-    for empty-epoch detection."""
+    for empty-epoch detection.
+
+    Raises SystemExit upfront when the key has != 2 pools: the balanced
+    iterator would reject it mid-epoch otherwise (after load + compile),
+    e.g. a --train_path of 3+ comma-joined dirs."""
     import numpy as np
 
-    counts = np.bincount(np.asarray(labels, dtype=np.int64))
+    _, counts = np.unique(np.asarray(labels, dtype=np.int64), return_counts=True)
+    if len(counts) != 2:
+        raise SystemExit(
+            f"Camelyon16 balanced batching needs exactly two pools (tumor + "
+            f"normal source dirs, or binary polygon labels); got "
+            f"{len(counts)} — pass exactly two comma-joined patch dirs"
+        )
     n = int(counts.min()) // max(batch_size, 1)
     return max(n, 1) if clamp else n
 

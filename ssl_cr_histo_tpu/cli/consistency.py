@@ -46,9 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--task", required=True, choices=list(TASKS))
     p.add_argument("--mode", default="fine-tuning", choices=["fine-tuning", "evaluation"])
     p.add_argument("--train_path", default="",
-                   help="train data dir; Camelyon16 accepts several "
+                   help="train data dir; Camelyon16 takes exactly TWO "
                         "comma-joined patch dirs (the reference's tumor + "
-                        "normal layout, eval_Camelyon_SSL_CR.py:270-271)")
+                        "normal layout, eval_Camelyon_SSL_CR.py:270-271) or "
+                        "one dir with polygon labels")
     p.add_argument("--json_path", default="")
     p.add_argument("--val_path", default="",
                    help="explicit validation data dir(s); when set the whole "
@@ -98,9 +99,9 @@ def parse_args(argv=None):
                    help=">0 enables EMA teacher instead of per-epoch refresh "
                         "(non-reference option; also EMAs BN stats)")
     p.add_argument("--eval_batch_size", type=int, default=64,
-                   help="inference batch for --mode evaluation; the eval "
-                        "mesh is sized to it, so on a pod pick a multiple "
-                        "of the device count")
+                   help="inference batch for per-epoch validation and "
+                        "--mode evaluation; the eval mesh is sized to it, "
+                        "so on a pod pick a multiple of the device count")
     add_common_args(p)
     return p.parse_args(argv)
 

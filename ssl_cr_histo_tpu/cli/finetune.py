@@ -46,9 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--mode", default="fine-tuning", choices=["fine-tuning", "evaluation"])
     p.add_argument("--train_path", default="",
                    help="train data dir (h5 dir / patches dir / class "
-                        "folders); Camelyon16 accepts several comma-joined "
+                        "folders); Camelyon16 takes exactly TWO comma-joined "
                         "patch dirs (the reference's tumor + normal layout, "
-                        "eval_Camelyon_SSL.py --train_{tumor,normal}_image_pth)")
+                        "eval_Camelyon_SSL.py --train_{tumor,normal}_image_pth) "
+                        "or one dir with polygon labels")
     p.add_argument("--json_path", default="", help="Camelyon16 annotation JSON dir")
     p.add_argument("--val_path", default="",
                    help="explicit validation data dir(s); when set the whole "
@@ -180,9 +181,20 @@ def main(argv=None):
     # not len(train) // batch (the reference decays per epoch at 30/60 —
     # eval_Camelyon_SSL.py MultiStepLR).
     if cfg.name == "camelyon16":
-        n_steps_per_epoch = balanced_epoch_len(D.grouping_key(train), batch_size)
+        n_steps_per_epoch = balanced_epoch_len(
+            D.grouping_key(train), batch_size, clamp=False
+        )
     else:
-        n_steps_per_epoch = max(len(train) // batch_size, 1)
+        n_steps_per_epoch = len(train) // batch_size
+    if n_steps_per_epoch == 0:
+        # an empty iterator would "train" 0 steps per epoch while validation
+        # and checkpointing carry on, silently selecting an untrained head —
+        # fail loudly instead (mirrors cli.consistency's guard)
+        raise SystemExit(
+            f"zero steps per epoch: {len(train)} train samples vs batch "
+            f"{batch_size}{'/class (smaller pool undersized)' if cfg.name == 'camelyon16' else ''}"
+            " — reduce --batch_size or add data"
+        )
     lr = args.lr or cfg.lr
     sched = optim.multistep_schedule(
         lr, [m * n_steps_per_epoch for m in cfg.milestones], cfg.gamma

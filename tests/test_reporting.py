@@ -1,6 +1,7 @@
 """Tests for reporting artifacts, balanced loader, and profiling utils."""
 
 import numpy as np
+import pytest
 
 from ssl_cr_histo_tpu.data import datasets as D
 from ssl_cr_histo_tpu.data.pipeline import balanced_batch_iterator
@@ -64,6 +65,20 @@ def test_balanced_epoch_len_matches_iterator():
         assert got == balanced_epoch_len(labels, bs) or (
             got == 0 and balanced_epoch_len(labels, bs) == 1
         )
+
+
+def test_balanced_epoch_len_guards():
+    from ssl_cr_histo_tpu.cli.common import balanced_epoch_len
+
+    # != 2 pools must fail upfront (3+ comma-joined dirs would otherwise
+    # crash mid-epoch inside balanced_batch_iterator, after load + compile)
+    with pytest.raises(SystemExit, match="exactly two pools"):
+        balanced_epoch_len(np.array([0, 1, 2, 2]), 2)
+    with pytest.raises(SystemExit, match="exactly two pools"):
+        balanced_epoch_len(np.ones(8, np.int64), 2)
+    # clamp=False reports a truly empty epoch (smaller pool < batch size)
+    assert balanced_epoch_len(np.array([0] * 3 + [1] * 100), 4, clamp=False) == 0
+    assert balanced_epoch_len(np.array([0] * 3 + [1] * 100), 4) == 1
 
 
 def test_step_timer_and_throughput():

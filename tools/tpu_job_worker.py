@@ -9,6 +9,13 @@ import os, sys, time, traceback, io, contextlib
 sys.path.insert(0, '/root/repo')
 JOBS = "/tmp/tpu_jobs"
 os.makedirs(JOBS, exist_ok=True)
+# a STOP touched while no worker was alive (e.g. after a pidfile kill) is
+# stale — clear it BEFORE paying the TPU claim wait, else this launch is
+# stillborn: it would claim the chip, then consume the sentinel and exit
+_stale = os.path.join(JOBS, "STOP")
+if os.path.exists(_stale):
+    os.remove(_stale)
+    print("cleared stale STOP sentinel from a previous worker", flush=True)
 with open("/tmp/tpu_worker.pid", "w") as f:
     f.write(str(os.getpid()))
 import jax, jax.numpy as jnp, numpy as np
