@@ -167,12 +167,6 @@ def model_dtype(args):
     return jnp.bfloat16 if args.bf16 else jnp.float32
 
 
-def device_mesh(model_parallel: int = 1):
-    from ssl_cr_histo_tpu.parallel import make_mesh
-
-    return make_mesh(model_parallel=model_parallel)
-
-
 def balanced_epoch_len(labels, batch_size: int, clamp: bool = True) -> int:
     """Steps per epoch of the balanced binary iterator: the smaller pool's
     per-pool batch count (data.pipeline.balanced_batch_iterator draws
@@ -192,7 +186,10 @@ def balanced_epoch_len(labels, batch_size: int, clamp: bool = True) -> int:
         raise SystemExit(
             f"Camelyon16 balanced batching needs exactly two pools (tumor + "
             f"normal source dirs, or binary polygon labels); got "
-            f"{len(counts)} — pass exactly two comma-joined patch dirs"
+            f"{len(counts)} — for multi-dir layouts pass exactly two "
+            f"comma-joined patch dirs; for single-dir layouts the polygon "
+            f"labels (after any --labeled_train subsample) must contain both "
+            f"classes"
         )
     n = int(counts.min()) // max(batch_size, 1)
     return max(n, 1) if clamp else n

@@ -172,12 +172,6 @@ def prefetch_iter(it: Iterable, size: int = 2, map_fn=None) -> Iterator:
         raise errors[0]
 
 
-def zip_shortest(*iters):
-    """zip() over batch iterators — the reference's zip(labeled, unlabeled)
-    epoch convention (epoch length = min; eval_Kather_SSL_CR.py:50)."""
-    return zip(*iters)
-
-
 def balanced_batch_iterator(
     ds,
     batch_size: int,

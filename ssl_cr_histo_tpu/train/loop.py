@@ -8,14 +8,10 @@ checkpoints, Lookahead stepped per epoch, and resume."""
 from __future__ import annotations
 
 import os
-import time
 from dataclasses import dataclass, field
-from typing import Callable, Dict, Iterable
 
-import jax
 import numpy as np
 
-from ssl_cr_histo_tpu.eval.metrics import AverageMeter
 from ssl_cr_histo_tpu.train import optim
 from ssl_cr_histo_tpu.train.checkpoint import save_checkpoint
 from ssl_cr_histo_tpu.train.state import TrainState
@@ -43,34 +39,6 @@ class CsvLogger:
             return
         with open(self.path, "a") as f:
             f.write(",".join(f"{v:.6f}" if isinstance(v, float) else str(v) for v in values) + "\n")
-
-
-@dataclass
-class EpochResult:
-    metrics: Dict[str, float]
-    seconds: float
-
-
-def run_epoch(
-    step_fn: Callable,
-    state: TrainState,
-    batches: Iterable,
-    key: jax.Array,
-    metric_names=("loss",),
-) -> tuple[TrainState, EpochResult]:
-    """Drive one epoch of `step_fn(state, *batch, key) -> (state, metrics)`."""
-    meters = {name: AverageMeter() for name in metric_names}
-    t0 = time.time()
-    for i, batch in enumerate(batches):
-        key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, *batch, sub)
-        n = int(np.shape(batch[0])[0])
-        for name in metric_names:
-            if name in metrics:
-                meters[name].update(float(metrics[name]), n)
-    return state, EpochResult(
-        {k: m.avg for k, m in meters.items()}, time.time() - t0
-    )
 
 
 def lookahead_epoch(state: TrainState, la_steps: int = 5, la_alpha: float = 0.5) -> TrainState:

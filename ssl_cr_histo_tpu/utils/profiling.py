@@ -31,13 +31,6 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-def annotate(name: str):
-    """Named region visible in profiler timelines."""
-    import jax.profiler
-
-    return jax.profiler.TraceAnnotation(name)
-
-
 @dataclass
 class StepTimer:
     """Wall-clock step timer; call ``sync_value`` with any scalar from the

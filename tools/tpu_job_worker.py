@@ -11,12 +11,39 @@ JOBS = "/tmp/tpu_jobs"
 os.makedirs(JOBS, exist_ok=True)
 # a STOP touched while no worker was alive (e.g. after a pidfile kill) is
 # stale — clear it BEFORE paying the TPU claim wait, else this launch is
-# stillborn: it would claim the chip, then consume the sentinel and exit
+# stillborn: it would claim the chip, then consume the sentinel and exit.
+# But if a PREVIOUS worker is still alive, the sentinel is live, not stale:
+# it is mid-job and will consume STOP between jobs.  Consuming it here would
+# orphan that worker (it never exits, keeps the single TPU claim) and
+# overwrite its pidfile so it can no longer be killed the sanctioned way.
+PIDFILE = "/tmp/tpu_worker.pid"
+
+
+def _live_prior_worker():
+    try:
+        with open(PIDFILE) as f:
+            pid = int(f.read().strip())
+        os.kill(pid, 0)  # liveness probe only
+        return pid
+    except (OSError, ValueError):
+        return None
+
+
 _stale = os.path.join(JOBS, "STOP")
+_prior = _live_prior_worker()
+if _prior is not None:
+    print(
+        f"previous worker pid {_prior} is still alive; leaving any STOP "
+        "sentinel for it and waiting for it to exit...",
+        flush=True,
+    )
+    while _live_prior_worker() is not None:
+        time.sleep(1)
+    print("previous worker exited; taking over", flush=True)
 if os.path.exists(_stale):
     os.remove(_stale)
     print("cleared stale STOP sentinel from a previous worker", flush=True)
-with open("/tmp/tpu_worker.pid", "w") as f:
+with open(PIDFILE, "w") as f:
     f.write(str(os.getpid()))
 import jax, jax.numpy as jnp, numpy as np
 print("worker up, devices:", jax.devices(), flush=True)
