@@ -146,7 +146,10 @@ class ResNet(nn.Module):
                     name=f"layer{i + 1}_{j}",
                 )(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
-        return x.astype(jnp.float32)
+        # heads run in >= f32 (bf16 backbones hand off f32 features); an f64
+        # model stays f64 end-to-end (the torch-parity trajectory tests
+        # depend on no silent downcast here)
+        return x.astype(jnp.promote_types(jnp.float32, self.dtype))
 
 
 def ResNet18(dtype=jnp.float32, remat=False) -> ResNet:

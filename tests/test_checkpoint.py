@@ -15,6 +15,7 @@ import numpy as np
 import pytest
 import torch
 import torch.nn as tnn
+from torch_oracle import TorchTripletNet
 
 from ssl_cr_histo_tpu.models import Classifier, TripletNet
 from ssl_cr_histo_tpu.train import optim
@@ -44,72 +45,7 @@ def test_save_restore_roundtrip(tmp_path):
     assert latest_checkpoint(str(tmp_path)) == path
 
 
-# --- minimal torch ResNet18 with torchvision naming (test-only oracle) ---
-
-
-class TorchBasicBlock(tnn.Module):
-    def __init__(self, cin, cout, stride=1):
-        super().__init__()
-        self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
-        self.bn1 = tnn.BatchNorm2d(cout)
-        self.relu = tnn.ReLU(inplace=True)
-        self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
-        self.bn2 = tnn.BatchNorm2d(cout)
-        self.downsample = None
-        if stride != 1 or cin != cout:
-            self.downsample = tnn.Sequential(
-                tnn.Conv2d(cin, cout, 1, stride, bias=False), tnn.BatchNorm2d(cout)
-            )
-
-    def forward(self, x):
-        idt = x
-        out = self.relu(self.bn1(self.conv1(x)))
-        out = self.bn2(self.conv2(out))
-        if self.downsample is not None:
-            idt = self.downsample(x)
-        return self.relu(out + idt)
-
-
-class TorchResNet18(tnn.Module):
-    def __init__(self):
-        super().__init__()
-        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
-        self.bn1 = tnn.BatchNorm2d(64)
-        self.relu = tnn.ReLU(inplace=True)
-        self.maxpool = tnn.MaxPool2d(3, 2, 1)
-        cfg = [(64, 64, 1), (64, 128, 2), (128, 256, 2), (256, 512, 2)]
-        for i, (cin, cout, stride) in enumerate(cfg, start=1):
-            setattr(
-                self,
-                f"layer{i}",
-                tnn.Sequential(
-                    TorchBasicBlock(cin, cout, stride), TorchBasicBlock(cout, cout, 1)
-                ),
-            )
-        self.avgpool = tnn.AdaptiveAvgPool2d(1)
-
-    def forward(self, x):
-        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
-        for i in range(1, 5):
-            x = getattr(self, f"layer{i}")(x)
-        return torch.flatten(self.avgpool(x), 1)
-
-
-class TorchTripletNet(tnn.Module):
-    """Reference models/net.py:25-66 contract: backbone under `model`,
-    pairwise MLP under `fc` (Sequential indices 0, 2)."""
-
-    def __init__(self):
-        super().__init__()
-        self.model = TorchResNet18()
-        self.fc = tnn.Sequential(tnn.Linear(1024, 512), tnn.ReLU(True), tnn.Linear(512, 256))
-
-    def forward(self, i1, i2, i3):
-        e1, e2, e3 = self.model(i1), self.model(i2), self.model(i3)
-        f12 = self.fc(torch.cat((e1, e2), 1))
-        f23 = self.fc(torch.cat((e2, e3), 1))
-        f13 = self.fc(torch.cat((e1, e3), 1))
-        return torch.cat((f12, f23, f13), 1)
+# torch ResNet18/TripletNet oracle with torchvision naming: tests/torch_oracle.py
 
 
 @pytest.fixture(scope="module")
