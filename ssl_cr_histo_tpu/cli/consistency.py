@@ -79,7 +79,7 @@ def parse_args(argv=None):
                    help="3 = reference Supervised_train 3-view labeled branch "
                         "(eval_Kather_SSL_CR.py:70-79); 1 = raw labeled images "
                         "(non-reference ablation)")
-    p.add_argument("--validation_split", type=float, default=0.1)
+    p.add_argument("--validation_split", type=float, default=0.2)
     p.add_argument("--num_epoch", type=int, default=90)
     p.add_argument("--batch_size", type=int, default=0)
     p.add_argument("--lr", type=float, default=0.0)
@@ -93,7 +93,7 @@ def parse_args(argv=None):
                    help="checkpoint dir to resume from, or 'auto' for the "
                         "latest ckpt_N under save_dir (reference "
                         "eval_Kather_SSL_CR.py --resume)")
-    p.add_argument("--save_freq", type=int, default=30,
+    p.add_argument("--save_freq", type=int, default=10,
                    help="epochs between periodic ckpt_N checkpoints (0 = off)")
     p.add_argument("--ema", type=float, default=0.0,
                    help=">0 enables EMA teacher instead of per-epoch refresh "

@@ -64,12 +64,16 @@ def parse_args(argv=None):
     p.add_argument("--test_path_b", default="", help="BreastPathQ second-rater dir")
     p.add_argument("--model_path", default="", help="stage-1 pretraining checkpoint (native dir or torch .pt)")
     p.add_argument("--finetune_ckpt", default="", help="checkpoint to evaluate (mode=evaluation)")
-    p.add_argument("--modules", type=int, default=60,
+    p.add_argument("--modules", type=int, default=0,
                    help="freeze the first N torch-ordered tensors "
                         "(0 full FT / 15 from-layer2 / 30 / 45 / 60 head-only / 64)")
     p.add_argument("--labeled_train", type=float, default=1.0,
+                   # DEFAULT DIFFERS from the reference (0.1,
+                   # eval_BreastPathQ_SSL.py:264): a 0.1 default floors to
+                   # zero samples on small datasets; subsampling is opt-in
+                   # here (docs/MIGRATION.md default-parity table)
                    help="labeled fraction: 0.1 / 0.25 / 0.5 / 1.0")
-    p.add_argument("--validation_split", type=float, default=0.1)
+    p.add_argument("--validation_split", type=float, default=0.2)
     p.add_argument("--with_replacement", action="store_true",
                    help="reproduce the reference's sampling-with-replacement defect")
     p.add_argument("--num_epoch", type=int, default=90)
@@ -85,7 +89,7 @@ def parse_args(argv=None):
                    help="checkpoint dir to resume from, or 'auto' for the "
                         "latest ckpt_N under save_dir (reference "
                         "eval_Kather_SSL.py:427-442)")
-    p.add_argument("--save_freq", type=int, default=30,
+    p.add_argument("--save_freq", type=int, default=10,
                    help="epochs between periodic ckpt_N checkpoints (0 = off)")
     p.add_argument("--eval_batch_size", type=int, default=64,
                    help="inference batch for per-epoch validation and "

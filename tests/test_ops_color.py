@@ -72,6 +72,43 @@ def test_hed_pinned_goldens():
     )
 
 
+def test_hed_constants_match_published_stain_matrix():
+    """Independence anchor for the HED law's CONSTANTS: the H&E-DAB stain
+    matrix is published (Ruifrok & Johnston 2001, "Quantification of
+    histochemical staining by color deconvolution", Anal Quant Cytol Histol
+    23:291-299) and appears verbatim as skimage's ``rgb_from_hed`` and the
+    reference's own vendored copy (custom_hed_transform.py:7-10).  Pinned
+    here as LITERALS from that provenance — not read from the module — so
+    the oracle chain no longer bottoms out in the implementation under
+    test.  The deconvolution inverse is recomputed independently in f64 and
+    the pinned golden vectors are re-derived from the Beer-Lambert law."""
+    published = np.array(
+        [[0.65, 0.70, 0.29],   # haematoxylin
+         [0.07, 0.99, 0.11],   # eosin
+         [0.27, 0.57, 0.78]],  # DAB
+        np.float64,
+    )
+    np.testing.assert_array_equal(color.RGB_FROM_HED, published.astype(np.float32))
+
+    # f64 first-principles pipeline: OD = -log(rgb + 2); stains = OD @ M^-1
+    pix = np.array(
+        [[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [0.8, 0.2, 0.6], [0.2, 0.7, 0.1]],
+        np.float64,
+    )
+    stains64 = -np.log(pix + 2.0) @ np.linalg.inv(published)
+    got = np.asarray(color.rgb2hed(jnp.asarray(pix, jnp.float32)))
+    np.testing.assert_allclose(got, stains64, atol=2e-5)
+    # and the golden vectors in test_hed_pinned_goldens satisfy the same law
+    golden_hed = np.array(
+        [[-0.8388240, 0.2449323, -0.6113214],
+         [-1.3295047, 0.3882084, -0.9689217],
+         [-1.3065126, 0.6018804, -0.8241405],
+         [-0.9686686, 0.0238759, -0.5944228]],
+        np.float64,
+    )
+    np.testing.assert_allclose(golden_hed, stains64, atol=2e-5)
+
+
 def test_hed_zero_shift_matches_legacy_behavior(rng):
     """The legacy skimage-0.15 formulation (which the reference pins,
     requirements.txt scikit-image=0.15.0) is NOT round-trip lossless: a zero

@@ -637,6 +637,7 @@ def test_pretrain_trajectory_short_tight(pretrain_pair):
     )
 
 
+@pytest.mark.slow
 def test_pretrain_trajectory_long_statistical(pretrain_pair):
     """60 steps at the reference epoch structure (Lookahead sync every 10
     steps, la_steps=5 -> the pullback fires at step 50).  Per-step tightness
