@@ -1,0 +1,68 @@
+"""Defaults-of-record regression guard (docs/MIGRATION.md default-parity
+table): the CLI defaults audited against the reference's parse_args blocks
+in round 4 must stay put — a silent default drift is a parity break that no
+behavioral test would catch (every behavioral test passes flags explicitly).
+
+Reference provenance per value:
+  pretrain_BreastPathQ.py:151-196, eval_BreastPathQ_SSL.py:220-267,
+  eval_Camelyon_SSL.py:194-236, eval_Kather_SSL.py:220-265,
+  eval_Kather_SSL_CR.py:250-302.
+"""
+
+from ssl_cr_histo_tpu.cli import consistency, finetune, pretrain
+
+
+def test_pretrain_defaults_of_record():
+    a = pretrain.parse_args(["--train_image_pth", "x"])
+    assert a.tile_h == 256 and a.tile_w == 256          # pretrain_*:188-189
+    assert a.tile_stride == 128                          # :190-191
+    assert a.batch_size == 64                            # :165
+    assert a.num_epoch == 250                            # :164
+    assert a.lr == 0.01 and a.weight_decay == 1e-4       # :167-168
+    assert a.la_steps == 5 and a.la_alpha == 0.5         # main: Lookahead(5, 0.5)
+    assert a.save_freq == 10                             # :156
+    assert a.lwst_level_idx == 1                         # :192 (BPQ config)
+    assert a.NAug == 2 and a.Magn == 3.0                 # pretrain_RSP.py:197-198
+    assert a.seed == 42                                  # :159
+
+
+def test_finetune_defaults_of_record():
+    a = finetune.parse_args(["--task", "kather"])
+    assert a.modules == 0           # eval_*_SSL.py:232 (full fine-tune)
+    assert a.validation_split == 0.2  # eval_BreastPathQ_SSL.py:262
+    assert a.num_epoch == 90          # :234
+    assert a.weight_decay == 1e-4     # :238
+    assert a.save_freq == 10          # :224
+    assert a.seed == 42               # :227
+    # DOCUMENTED deviation (MIGRATION.md default-parity table): reference
+    # defaults labeled_train to 0.1 (eval_BreastPathQ_SSL.py:264); a 0.1
+    # default floors to zero samples on small datasets, so subsampling is
+    # opt-in here.  If this changes, update the table.
+    assert a.labeled_train == 1.0
+    # task defaults resolve through TASKS (config of record)
+    from ssl_cr_histo_tpu.cli.common import TASKS
+
+    assert TASKS["breastpathq"].batch_size == 4    # eval_BreastPathQ_SSL.py:235
+    assert TASKS["camelyon16"].batch_size == 16    # eval_Camelyon_SSL.py:206
+    assert TASKS["kather"].batch_size == 64        # eval_Kather_SSL.py:232
+    assert TASKS["breastpathq"].lr == 1e-4         # :237
+    assert TASKS["camelyon16"].lr == 5e-4          # :208
+    assert TASKS["kather"].lr == 1e-5              # :234
+
+
+def test_consistency_defaults_of_record():
+    a = consistency.parse_args(["--task", "kather"])
+    assert a.mu == 7                 # eval_Kather_SSL_CR.py:268
+    assert a.NAug == 7               # :269
+    assert a.lambda_u == 1.0         # :276
+    assert a.modules_student == 60   # :263
+    assert a.labeled_train == 0.1    # :299
+    assert a.validation_split == 0.2  # :298
+    assert a.num_epoch == 90          # :266
+    assert a.save_freq == 10          # :253
+    from ssl_cr_histo_tpu.cli.common import TASKS
+
+    # cr_batch resolves cr_batch_size=0 -> batch_size (BPQ: 4 == its SSL batch)
+    assert TASKS["breastpathq"].cr_batch == 4   # eval_BreastPathQ_SSL_CR.py:264
+    assert TASKS["camelyon16"].cr_batch == 8    # eval_Camelyon_SSL_CR.py:247
+    assert TASKS["kather"].cr_batch == 8        # eval_Kather_SSL_CR.py:267
