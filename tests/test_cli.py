@@ -60,6 +60,8 @@ def test_finetune_cli_end_to_end(kather_dirs, tmp_path):
 
 
 def test_consistency_cli_end_to_end(kather_dirs, tmp_path):
+    # wiring smoke: 32px + head-only stage-2 keep the 1-core CPU cost down
+    # (record shapes run on-chip via tools/rehearsal.py + bench_suite)
     from ssl_cr_histo_tpu.cli import consistency, finetune
 
     save = tmp_path / "ft"
@@ -68,8 +70,10 @@ def test_consistency_cli_end_to_end(kather_dirs, tmp_path):
         "--train_path", str(kather_dirs / "train"),
         "--num_epoch", "1",
         "--batch_size", "8",
+        "--modules", "60",
         "--validation_split", "0.25",
         "--save_dir", str(save),
+        "--image_size", "32",
         "--no-bf16",
     ])
     save_cr = tmp_path / "cr"
@@ -84,6 +88,7 @@ def test_consistency_cli_end_to_end(kather_dirs, tmp_path):
         "--labeled_train", "0.5",
         "--validation_split", "0.25",
         "--save_dir", str(save_cr),
+        "--image_size", "32",
         "--aug_mode", "fast",  # batch-shared strong-aug sequence path
         "--no-bf16",
     ])
@@ -98,6 +103,7 @@ def test_consistency_cli_end_to_end(kather_dirs, tmp_path):
         "--test_path", str(kather_dirs / "test"),
         "--eval_ckpt", str(save_cr / "final"),
         "--save_dir", str(save_cr),
+        "--image_size", "32",
         "--no-bf16",
     ])
     report = json.loads((save_cr / "kather_eval.json").read_text())
@@ -228,7 +234,8 @@ def test_full_three_stage_pipeline(tmp_path, kather_dirs):
         "--train_path", str(kather_dirs / "train"),
         "--model_path", str(s1 / "ckpt_1"),
         "--num_epoch", "1", "--batch_size", "8", "--modules", "60",
-        "--validation_split", "0.25", "--save_dir", str(s2), "--no-bf16",
+        "--validation_split", "0.25", "--save_dir", str(s2),
+        "--image_size", "32", "--no-bf16",
     ])
     # the fine-tune checkpoint must carry the stage-1 backbone (frozen at
     # modules=60, so weights are exactly the pretrained ones)
@@ -241,7 +248,7 @@ def test_full_three_stage_pipeline(tmp_path, kather_dirs):
 
     tmpl2 = init_triplet_state(
         model, FinetuneHead(num_classes=9), tx, jax.random.PRNGKey(1),
-        image_size=224, triplet=False,
+        image_size=32, triplet=False,
     )
     stage2_state, _ = restore_checkpoint(str(s2 / "final"), tmpl2)
     np.testing.assert_array_equal(
@@ -257,7 +264,7 @@ def test_full_three_stage_pipeline(tmp_path, kather_dirs):
         "--finetune_ckpt", str(s2 / "final"),
         "--num_epoch", "1", "--batch_size", "4", "--mu", "2", "--NAug", "2",
         "--labeled_train", "0.5", "--validation_split", "0.25",
-        "--save_dir", str(s3), "--no-bf16",
+        "--save_dir", str(s3), "--image_size", "32", "--no-bf16",
     ])
     assert (s3 / "final" / "checkpoint.msgpack").exists()
 
@@ -323,6 +330,7 @@ def test_consistency_cli_resume(kather_dirs, tmp_path):
         "--train_path", str(kather_dirs / "train"),
         "--num_epoch", "1",
         "--batch_size", "8",
+        "--modules", "60",
         "--validation_split", "0.25",
         "--save_dir", str(ft),
         "--image_size", "32",
@@ -381,6 +389,7 @@ def test_finetune_cli_breastpathq_regression(tmp_path):
         "--train_path", str(train_dir) + "/",
         "--num_epoch", "1",
         "--batch_size", "4",
+        "--modules", "60",
         "--validation_split", "0.25",
         "--image_size", "32",
         "--save_dir", str(save),
@@ -441,6 +450,7 @@ def test_finetune_cli_camelyon16_balanced(tmp_path, capsys):
         "--val_path", f"{va_t},{va_n}",
         "--num_epoch", "1",
         "--batch_size", "4",
+        "--modules", "60",
         "--image_size", "32",
         "--save_dir", str(save),
         "--no-bf16",
@@ -521,6 +531,7 @@ def test_consistency_cli_breastpathq_regression(tmp_path):
         "--train_path", str(train_dir) + "/",
         "--num_epoch", "1",
         "--batch_size", "4",
+        "--modules", "60",
         "--validation_split", "0.25",
         "--image_size", "32",
         "--save_dir", str(ft),
@@ -588,6 +599,7 @@ def test_consistency_cli_camelyon16_batch_semantics(tmp_path, monkeypatch, capsy
         "--json_path", str(jsons),
         "--num_epoch", "1",
         "--batch_size", "2",
+        "--modules", "60",
         "--validation_split", "0.25",
         "--image_size", "32",
         "--save_dir", str(ft),
@@ -819,8 +831,10 @@ def test_consistency_ema_teacher_persistence(kather_dirs, tmp_path, capsys):
         "--train_path", str(kather_dirs / "train"),
         "--num_epoch", "1",
         "--batch_size", "8",
+        "--modules", "60",
         "--validation_split", "0.25",
         "--save_dir", str(ft),
+        "--image_size", "32",
         "--no-bf16",
     ])
     cr = tmp_path / "cr"
@@ -837,6 +851,7 @@ def test_consistency_ema_teacher_persistence(kather_dirs, tmp_path, capsys):
         "--save_freq", "1",
         "--multi_step", "1",
         "--save_dir", str(cr),
+        "--image_size", "32",
         "--no-bf16",
     ]
     consistency.main(base + ["--num_epoch", "1"])
@@ -862,8 +877,10 @@ def test_consistency_cli_masked_mode_and_eval_batch(kather_dirs, tmp_path):
         "--train_path", str(kather_dirs / "train"),
         "--num_epoch", "1",
         "--batch_size", "8",
+        "--modules", "60",
         "--validation_split", "0.25",
         "--save_dir", str(ft),
+        "--image_size", "32",
         "--no-bf16",
     ])
     cr = tmp_path / "cr"
@@ -880,6 +897,7 @@ def test_consistency_cli_masked_mode_and_eval_batch(kather_dirs, tmp_path):
         "--aug_mode", "masked",
         "--multi_step", "1",
         "--save_dir", str(cr),
+        "--image_size", "32",
         "--no-bf16",
     ])
     lines = (cr / "consistency_results.csv").read_text().strip().splitlines()
@@ -893,6 +911,7 @@ def test_consistency_cli_masked_mode_and_eval_batch(kather_dirs, tmp_path):
         "--finetune_ckpt", str(cr / "final"),
         "--eval_batch_size", "16",
         "--save_dir", str(cr),
+        "--image_size", "32",
         "--no-bf16",
     ])
     report = json.loads((cr / "kather_eval.json").read_text())
