@@ -13,10 +13,15 @@ throughput measured by tools/measure_reference_baseline.py (BASELINE_LOCAL.
 json — a faithful CPU transcription of the reference aug pool scaled by its
 8 DataLoader workers; the reference GPUs idle waiting on augmentation, so
 this is its end-to-end rate).  Falls back to a pinned value if absent.
+
+`measure_pretrain` is the measurement of record — tools/bench_suite.py
+imports it rather than re-implementing it, so BENCH_SUITE.json's pretrain
+number cannot drift from the driver-guarded one.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -37,12 +42,18 @@ def _enable_compilation_cache():
         pass
 
 
-def main():
+def measure_pretrain(iters: int = 3):
+    """Pretrain-step throughput at the reference config of record.
+
+    Execution mode == the pretrain CLI's SHIPPED defaults (cli.pretrain:
+    --photometric auto -> pallas on TPU, --joint_encode on by default,
+    --multi_step 8: 8 train steps per device dispatch, amortizing host
+    dispatch latency like the CLI's chunked feed), so this measures what
+    `python -m ssl_cr_histo_tpu.cli.pretrain` actually runs.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
-
-    _enable_compilation_cache()
 
     from ssl_cr_histo_tpu.models import Classifier, TripletNet
     from ssl_cr_histo_tpu.parallel import steps as S
@@ -59,11 +70,6 @@ def main():
     clf = Classifier(num_classes=6)
     tx = optim.sgd_nesterov(0.01, momentum=0.9, weight_decay=1e-4)
     state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=tile)
-    # Execution mode == the pretrain CLI's SHIPPED defaults (cli.pretrain:
-    # --photometric auto -> pallas on TPU, --joint_encode on by default,
-    # --multi_step 8: 8 train steps per device dispatch, amortizing host
-    # dispatch latency like the CLI's chunked feed), so this measures what
-    # `python -m ssl_cr_histo_tpu.cli.pretrain` actually runs.
     k_steps = 8
     multi = S.make_pretrain_multi_step(
         model, clf, tx, augment="v1", photometric="pallas", joint_encode=True
@@ -80,7 +86,6 @@ def main():
     state, metrics = multi(state, tiles_k, jax.random.PRNGKey(0), valid)
     float(metrics["loss"][-1])
 
-    iters = 3
     t0 = time.time()
     for i in range(iters):
         state, metrics = multi(state, tiles_k, jax.random.PRNGKey(i + 1), valid)
@@ -88,8 +93,22 @@ def main():
     dt = (time.time() - t0) / (iters * k_steps)
     assert final_loss == final_loss, "loss is NaN"
 
-    patches_per_step = batch_size * 3
-    value = patches_per_step / dt
+    del state, metrics, multi, tiles, tiles_k
+    gc.collect()  # free device buffers before any follow-on benchmark
+    return {
+        "metric": "rsp_pretrain_aug_patches_per_sec_per_chip",
+        "value": round(batch_size * 3 / dt, 1),
+        "unit": "patches/s/chip",
+        "ms_per_step": round(dt * 1000, 2),
+        "config": "256^2 b=64 v1-pallas joint multi_step=8 bf16 (CLI defaults)",
+    }
+
+
+def main():
+    _enable_compilation_cache()
+
+    r = measure_pretrain()
+    value = r["value"]
 
     baseline = FALLBACK_BASELINE_PPS
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL.json")
@@ -100,9 +119,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "rsp_pretrain_aug_patches_per_sec_per_chip",
-                "value": round(value, 1),
-                "unit": "patches/s/chip",
+                "metric": r["metric"],
+                "value": value,
+                "unit": r["unit"],
                 "vs_baseline": round(value / baseline, 2),
             }
         )

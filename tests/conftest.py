@@ -21,3 +21,23 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default profile: deselect the `slow` tier (multi-stage quality gates,
+    the 60-step torch trajectory) from whole-directory runs.
+
+    Deliberately NOT an addopts marker filter: when the invocation names a
+    file or node id explicitly (`pytest tests/test_quality_gate.py`), the
+    developer asked for those tests and gets them.  Any explicit -m
+    expression (e.g. the FULL profile's -m "slow or not slow") also takes
+    precedence.
+    """
+    if config.option.markexpr:
+        return
+    if any(not os.path.isdir(str(a).split("::")[0]) for a in config.args):
+        return
+    slow = [it for it in items if it.get_closest_marker("slow")]
+    if slow:
+        config.hook.pytest_deselected(items=slow)
+        items[:] = [it for it in items if not it.get_closest_marker("slow")]

@@ -36,61 +36,20 @@ import argparse
 import gc
 import json
 import os
+import sys
 import time
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
-def _enable_compilation_cache():
-    import jax
+import bench as _bench  # noqa: E402  (repo-root bench.py: measurement of record)
 
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+_enable_compilation_cache = _bench._enable_compilation_cache
 
-
-def bench_pretrain(iters=3):
-    """Identical measurement to bench.py (the driver contract)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from ssl_cr_histo_tpu.models import Classifier, TripletNet
-    from ssl_cr_histo_tpu.parallel import steps as S
-    from ssl_cr_histo_tpu.train import optim
-    from ssl_cr_histo_tpu.train.init import init_triplet_state
-
-    b, tile, k = 64, 256, 8
-    rng = np.random.default_rng(0)
-    tiles = jnp.asarray((rng.random((b, 3, tile, tile, 3)) * 255).astype(np.uint8))
-    model = TripletNet("resnet18", dtype=jnp.bfloat16)
-    clf = Classifier(num_classes=6)
-    tx = optim.sgd_nesterov(0.01, momentum=0.9, weight_decay=1e-4)
-    state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=tile)
-    multi = S.make_pretrain_multi_step(
-        model, clf, tx, augment="v1", photometric="pallas", joint_encode=True
-    )
-    tiles_k = jnp.broadcast_to(tiles, (k, *tiles.shape))
-    valid = jnp.ones((k,), jnp.float32)
-    state, m = multi(state, tiles_k, jax.random.PRNGKey(0), valid)
-    float(m["loss"][-1])
-    t0 = time.time()
-    for i in range(iters):
-        state, m = multi(state, tiles_k, jax.random.PRNGKey(i + 1), valid)
-    assert float(m["loss"][-1]) == float(m["loss"][-1])
-    dt = (time.time() - t0) / (iters * k)
-    del state, m, multi, tiles, tiles_k
-    gc.collect()
-    return {
-        "metric": "rsp_pretrain_aug_patches_per_sec_per_chip",
-        "value": round(b * 3 / dt, 1),
-        "unit": "patches/s/chip",
-        "ms_per_step": round(dt * 1000, 2),
-        "config": "256^2 b=64 v1-pallas joint multi_step=8 bf16 (= bench.py)",
-    }
+# The pretrain number IS bench.py's measurement (shared function, not a
+# re-implementation), so the suite cannot drift from the driver contract.
+bench_pretrain = _bench.measure_pretrain
 
 
 def bench_consistency(aug_mode, iters=20):

@@ -354,6 +354,26 @@ def _fresh_dir(path):
     return path
 
 
+def _finalize_report(args, report):
+    """Fill the run-level fields and write the report JSON (also called on
+    a mid-recipe failure, so partial stage data always lands on disk)."""
+    report["total_seconds"] = round(
+        sum(s.get("seconds", 0) for s in report["stages"].values()), 1
+    )
+    import jax
+
+    report["platform"] = str(jax.devices()[0])
+    report["notes"] = (
+        "Stage seconds include one-time jitted-program loads over the axon "
+        "tunnel (~30-60s per distinct program even on persistent-cache "
+        "hits) and H2D at ~31 MB/s — both dev-tunnel artifacts, absent on "
+        "real hosts.  Steady-state pretrain epochs run in ~30s here "
+        "(printed per-epoch); see PERF.md for clean step timings."
+    )
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+
+
 def stage_pretrain(args, W, report):
     """Stage 1: RSP pretraining at the config of record (BASELINE.md: 256^2
     tiles, stride 128, batch 64, v1 pool, SGD-Nesterov+Lookahead).  Returns
@@ -830,25 +850,20 @@ def main(argv=None):
     os.makedirs(W, exist_ok=True)
     report = {"config": vars(args), "stages": {}}
 
-    run(args, W, report)
-
-    report["total_seconds"] = round(
-        sum(s.get("seconds", 0) for s in report["stages"].values()), 1
-    )
-    import jax
-
-    report["platform"] = str(jax.devices()[0])
-    report["notes"] = (
-        "Stage seconds include one-time jitted-program loads over the axon "
-        "tunnel (~30-60s per distinct program even on persistent-cache "
-        "hits) and H2D at ~31 MB/s — both dev-tunnel artifacts, absent on "
-        "real hosts.  Steady-state pretrain epochs run in ~30s here "
-        "(printed per-epoch); see PERF.md for clean step timings."
-    )
+    try:
+        run(args, W, report)
+    except BaseException as exc:
+        # A mid-recipe abort (e.g. stage_pretrain's pretext-learning gate)
+        # must not discard the stage data already collected — the loss/acc
+        # curves and per-stage timings ARE the diagnostic for why it failed.
+        # Write the partial report, then re-raise.
+        report["failed"] = f"{type(exc).__name__}: {exc}"
+        _finalize_report(args, report)
+        print(f"== rehearsal FAILED — partial report written to {args.out}")
+        raise
     violations = check_bands(args.recipe, report, enforce=args.image_size == 256)
     report["band_violations"] = violations
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=2)
+    _finalize_report(args, report)
     if violations:
         raise SystemExit(
             "rehearsal metrics OUT OF EXPECTED BANDS (recipe regression?): "

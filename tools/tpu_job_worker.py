@@ -24,6 +24,13 @@ def _live_prior_worker():
         with open(PIDFILE) as f:
             pid = int(f.read().strip())
         os.kill(pid, 0)  # liveness probe only
+        # A pidfile can outlive its worker (kill-by-pidfile leaves it behind)
+        # and the PID can be recycled by an unrelated process; require the
+        # process to actually BE a tpu_job_worker, else the takeover wait
+        # below would spin forever on a stranger's PID.
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            if b"tpu_job_worker" not in f.read():
+                return None
         return pid
     except (OSError, ValueError):
         return None
@@ -57,6 +64,10 @@ while True:
     stop = os.path.join(JOBS, "STOP")
     if os.path.exists(stop):
         os.remove(stop)  # consume, so the next worker launch isn't stillborn
+        try:
+            os.remove(PIDFILE)  # no stale pidfile for the next launch to probe
+        except OSError:
+            pass
         print("stop requested; exiting cleanly", flush=True)
         break
     for name in sorted(os.listdir(JOBS)):
