@@ -66,3 +66,35 @@ def test_consistency_defaults_of_record():
     assert TASKS["breastpathq"].cr_batch == 4   # eval_BreastPathQ_SSL_CR.py:264
     assert TASKS["camelyon16"].cr_batch == 8    # eval_Camelyon_SSL_CR.py:247
     assert TASKS["kather"].cr_batch == 8        # eval_Kather_SSL_CR.py:267
+
+
+def test_slow_tier_collection_profiles():
+    """Test-profile contract (CLAUDE.md): the default profile deselects the
+    slow tier from whole-directory runs ONLY — explicitly-named files run
+    exactly what was asked, and -m expressions take precedence.  Guards the
+    conftest deselect hook (an addopts -m would silently collect nothing for
+    `pytest tests/test_quality_gate.py` — round-4 review)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def collect(*argv):
+        out = subprocess.run(
+            [sys.executable, "-m", "pytest", "--collect-only", "-q",
+             "-p", "no:cacheprovider", *argv],
+            cwd=repo, capture_output=True, text=True, timeout=300)
+        # 5 == collected nothing (legitimate for the -m precedence case)
+        assert out.returncode in (0, 5), out.stdout + out.stderr
+        return out.stdout.strip().splitlines()[-1]
+
+    # explicit file target: the slow gates ARE collected
+    tail = collect("tests/test_quality_gate.py")
+    assert "2 tests collected" in tail, tail
+    # whole-directory default profile: the slow tier is deselected
+    tail = collect("tests/test_quality_gate.py::test_aug_on_pretrain_gate")
+    assert "1 test collected" in tail, tail
+    # an explicit -m expression wins over the default filter
+    tail = collect("tests/test_quality_gate.py", "-m", "not slow")
+    assert "no tests ran" in tail or "2 deselected" in tail, tail

@@ -87,3 +87,56 @@ def test_camelyon_two_dir_contract(tmp_path):
 def test_recipe_table(recipe):
     run, out, ft, cr = R.RECIPES[recipe]
     assert callable(run) and out.endswith(".json") and ft > 0 and cr > 0
+
+
+def test_check_bands_detects_violations():
+    report = {"stages": {
+        "pretrain": {"val_acc_best": 0.55},
+        "evaluation": {"auc": 0.995, "accuracy": 0.85, "weighted_f1": 0.85},
+        "froc": {"froc": 0.5},
+        "heatmap": {"strong_lesion_mean_prob": 0.7,
+                    "normal_slide_mean_prob": 0.1},
+    }}
+    v = R.check_bands("camelyon16", report, enforce=True)
+    # exactly the saturated AUC is out of its sensitive band (<= 0.99)
+    assert v == ["evaluation.auc=0.995 not in [0.8, 0.99]"]
+    # bands are always recorded in the report, enforced or not
+    assert report["expected_bands"]["evaluation.auc"] == [0.80, 0.99]
+    # CPU-scale smokes (enforce=False) never flag
+    assert R.check_bands("camelyon16", dict(report), enforce=False) == []
+
+
+def test_check_bands_dotted_keys_and_reuse():
+    # dotted key path into the nested ICC table
+    report = {"stages": {
+        "pretrain": {"reused": "/some/ckpt"},  # --stage1_ckpt: gate skipped
+        "evaluation": {"icc_MA": {"ICC2": 0.80}, "icc_AB": {"ICC2": 0.90},
+                       "tau_MA": 0.70},
+    }}
+    assert R.check_bands("breastpathq", report, enforce=True) == []
+    # a MISSING metric is a violation, not a silent pass
+    del report["stages"]["evaluation"]["tau_MA"]
+    v = R.check_bands("breastpathq", report, enforce=True)
+    assert v == ["evaluation.tau_MA=None not in [0.4, 0.97]"]
+
+
+def test_partial_report_written_on_stage_abort(tmp_path, monkeypatch):
+    """A mid-recipe abort (e.g. the pretext-learning gate) must still write
+    the report with the stage data collected so far (round-4 review)."""
+    import json
+
+    def boom(args, W, report):
+        report["stages"]["pretrain"] = {"seconds": 3.0, "val_acc": [0.16]}
+        raise SystemExit("pretrain FAILED to learn (simulated)")
+
+    _, out, ft, cr = R.RECIPES["camelyon16"]
+    monkeypatch.setitem(R.RECIPES, "camelyon16", (boom, out, ft, cr))
+    out_path = str(tmp_path / "fail.json")
+    with pytest.raises(SystemExit, match="simulated"):
+        R.main(["--recipe", "camelyon16", "--out", out_path,
+                "--workdir", str(tmp_path / "w")])
+    with open(out_path) as f:
+        d = json.load(f)
+    assert d["failed"].startswith("SystemExit")
+    assert d["stages"]["pretrain"]["val_acc"] == [0.16]
+    assert d["total_seconds"] == 3.0
