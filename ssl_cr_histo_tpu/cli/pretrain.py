@@ -337,13 +337,16 @@ def main(argv=None):
     if args.tsne and val_positions:
         from ssl_cr_histo_tpu.eval.reporting import save_tsne_plot
 
+        # a feats-returning variant compiled only here: the per-epoch val
+        # loop above never materializes the (6, B, 768) tensor
+        eval_step_feats = S.make_pretrain_eval_step(model, clf, return_feats=True)
         feats, targets = [], []
         vb = sampler.iter_batches(val_positions, args.batch_size, seed=0,
                                   drop_last=False, readers=readers)
         for tiles, valid in prefetch_to_device(
             pad_batches(vb, args.batch_size), sharding=sharding
         ):
-            m = eval_step(state, tiles, valid)
+            m = eval_step_feats(state, tiles, valid)
             f = np.asarray(m["feats"])  # (6, B, 768): one row set per ordering
             keep = np.asarray(valid).astype(bool)
             for label in range(6):

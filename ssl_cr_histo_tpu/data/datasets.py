@@ -58,13 +58,9 @@ class ArrayDataset:
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
                 drop_last: bool = True):
-        n = len(self)
-        order = np.arange(n)
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        end = n - (n % batch_size) if drop_last else n
-        for i in range(0, end, batch_size):
-            sel = order[i : i + batch_size]
+        from ssl_cr_histo_tpu.data.pipeline import epoch_indices
+
+        for sel in epoch_indices(len(self), batch_size, shuffle, seed, drop_last):
             yield self.images[sel], self.labels[sel]
 
 
@@ -96,8 +92,6 @@ class LazyImageDataset:
         )
 
     def decode(self, idx) -> np.ndarray:
-        from concurrent.futures import ThreadPoolExecutor
-
         def one(i):
             raw = cv2.imread(self.paths[int(i)], cv2.IMREAD_COLOR)
             if raw is None:  # deleted/corrupt file: name it instead of
@@ -108,18 +102,25 @@ class LazyImageDataset:
             img = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
             return _resize(img, self.image_size)
 
-        with ThreadPoolExecutor(max_workers=self.decode_threads) as pool:
-            return np.stack(list(pool.map(one, np.asarray(idx))))
+        return np.stack(list(self._executor().map(one, np.asarray(idx))))
+
+    def _executor(self):
+        # one persistent pool per dataset — decode() runs once per batch on
+        # the lazy hot path, so per-call executor creation would spawn and
+        # join decode_threads OS threads thousands of times per epoch
+        pool = getattr(self, "_pool", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.decode_threads)
+            self._pool = pool
+        return pool
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
                 drop_last: bool = True):
-        n = len(self)
-        order = np.arange(n)
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        end = n - (n % batch_size) if drop_last else n
-        for i in range(0, end, batch_size):
-            sel = order[i : i + batch_size]
+        from ssl_cr_histo_tpu.data.pipeline import epoch_indices
+
+        for sel in epoch_indices(len(self), batch_size, shuffle, seed, drop_last):
             yield self.decode(sel), self.labels[sel]
 
     def materialize(self) -> ArrayDataset:

@@ -16,6 +16,24 @@ import jax
 import numpy as np
 
 
+def epoch_indices(
+    n: int,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+) -> Iterator[np.ndarray]:
+    """Yield per-batch index arrays for one epoch over ``n`` items — the
+    single definition of epoch order/drop_last semantics (the dataset
+    ``batches`` methods and ``batch_iterator`` all delegate here)."""
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    end = n - (n % batch_size) if drop_last else n
+    for i in range(0, end, batch_size):
+        yield idx[i : i + batch_size]
+
+
 def batch_iterator(
     arrays,
     batch_size: int,
@@ -24,13 +42,7 @@ def batch_iterator(
     drop_last: bool = True,
 ) -> Iterator:
     """Yield aligned batch tuples from equal-length numpy arrays."""
-    n = len(arrays[0])
-    idx = np.arange(n)
-    if shuffle:
-        np.random.default_rng(seed).shuffle(idx)
-    end = n - (n % batch_size) if drop_last else n
-    for i in range(0, end, batch_size):
-        sel = idx[i : i + batch_size]
+    for sel in epoch_indices(len(arrays[0]), batch_size, shuffle, seed, drop_last):
         yield tuple(a[sel] for a in arrays)
 
 
@@ -38,17 +50,26 @@ def pad_batches(it: Iterable, batch_size: int) -> Iterator:
     """Zero-pad trailing partial batches to `batch_size`, yielding
     (batch, valid) with a float32 validity mask.  Keeps eval shapes static
     (no recompiles) and every batch divisible for data-axis sharding;
-    consumers weight their metrics by the mask."""
+    consumers weight their metrics by the mask.
+
+    Batches may be bare arrays or tuples of batch-aligned arrays (e.g. the
+    ``(images, labels)`` iterators ``mesh_for_batch``'s pod error message
+    points here); tuple elements pad along axis 0 together."""
     for batch in it:
-        b = len(batch)
+        is_tuple = isinstance(batch, tuple)
+        parts = batch if is_tuple else (batch,)
+        b = len(parts[0])
         valid = np.ones(batch_size, np.float32)
         if b != batch_size:
             pad = batch_size - b
-            batch = np.concatenate(
-                [batch, np.zeros((pad, *np.shape(batch)[1:]), np.asarray(batch).dtype)]
+            parts = tuple(
+                np.concatenate(
+                    [p, np.zeros((pad, *np.shape(p)[1:]), np.asarray(p).dtype)]
+                )
+                for p in parts
             )
             valid[b:] = 0.0
-        yield batch, valid
+        yield (parts if is_tuple else parts[0]), valid
 
 
 def chunk_batches(it: Iterable, k: int) -> Iterator:

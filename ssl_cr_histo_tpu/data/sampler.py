@@ -303,12 +303,14 @@ class RSPTripletSampler:
         collapses the 6x re-reads to one.
 
         read_workers > 1: read the next batch's triplets on a thread pool;
-        each worker thread opens its OWN readers (PIL TIFF handles are not
-        thread-safe to share), so per-thread reader RAM is duplicated —
-        worth it on multi-core hosts where decode/IO dominates."""
+        each worker thread opens its OWN readers (a shared PILTiffReader is
+        lock-protected but serializes page decodes), so per-thread reader
+        RAM is duplicated — worth it on multi-core hosts where decode/IO
+        dominates."""
         from ssl_cr_histo_tpu.data.wsi import ReaderCache
 
-        if readers is None:
+        own_readers = readers is None
+        if own_readers:
             readers = ReaderCache()
 
         def get_reader(path: str):
@@ -378,3 +380,7 @@ class RSPTripletSampler:
                 pool.shutdown(wait=True)
                 for rc in worker_caches:
                     rc.close()
+            if own_readers:
+                # the default cache was created here; a caller-passed one
+                # stays open (it is shared across epochs)
+                readers.close()

@@ -56,6 +56,18 @@ class PyramidReader(Protocol):
         ...
 
 
+def _crop_pad_white(arr: np.ndarray, lx: int, ly: int, w: int, h: int) -> np.ndarray:
+    """Crop ``arr[ly:ly+h, lx:lx+w]``; out-of-bounds area filled white (the
+    tissue-background convention in the reader protocol docstring).  Shared
+    by the array-backed backends so the boundary math cannot diverge."""
+    out = np.full((h, w, 3), 255, np.uint8)
+    sy0, sy1 = max(ly, 0), min(ly + h, arr.shape[0])
+    sx0, sx1 = max(lx, 0), min(lx + w, arr.shape[1])
+    if sy1 > sy0 and sx1 > sx0:
+        out[sy0 - ly : sy1 - ly, sx0 - lx : sx1 - lx] = arr[sy0:sy1, sx0:sx1]
+    return out
+
+
 class ArrayPyramid:
     """In-memory pyramid with OpenSlide read_region semantics."""
 
@@ -92,13 +104,7 @@ class ArrayPyramid:
         w, h = int(size[0]), int(size[1])
         ds = self.level_downsamples[level]
         lx, ly = int(x0 / ds), int(y0 / ds)
-        arr = self._levels[level]
-        out = np.full((h, w, 3), 255, np.uint8)
-        sy0, sy1 = max(ly, 0), min(ly + h, arr.shape[0])
-        sx0, sx1 = max(lx, 0), min(lx + w, arr.shape[1])
-        if sy1 > sy0 and sx1 > sx0:
-            out[sy0 - ly : sy1 - ly, sx0 - lx : sx1 - lx] = arr[sy0:sy1, sx0:sx1]
-        return out
+        return _crop_pad_white(self._levels[level], lx, ly, w, h)
 
 
 class OpenSlideReader:  # pragma: no cover - requires libopenslide
@@ -174,11 +180,21 @@ class PILTiffReader:
     Pages must be a descending-resolution pyramid (the common pyramidal-TIFF
     layout).  Pages are decoded lazily and cached per level; suitable for
     test fixtures and small-to-medium slides — production WSI IO should use
-    OpenSlideReader."""
+    OpenSlideReader.
+
+    Thread safety: the shared PIL handle is only touched under ``_lock``
+    (PIL seek/convert mutates the Image object), so one reader may be shared
+    across IO threads (e.g. the heatmap pipeline's pool) — decodes
+    serialize, but reads of the cached level arrays run fully parallel.
+    For parallel DECODE across threads, give each worker its own reader
+    (``data.sampler`` does)."""
 
     def __init__(self, path: str, mpp_x: float = 0.5):
+        import threading
+
         from PIL import Image
 
+        self._lock = threading.Lock()
         self._img = Image.open(path)
         self._n = getattr(self._img, "n_frames", 1)
         dims = []
@@ -210,27 +226,27 @@ class PILTiffReader:
         return self._mpp
 
     def _level(self, i: int) -> np.ndarray:
-        if i not in self._cache:
-            self._img.seek(i)
-            self._cache[i] = np.asarray(self._img.convert("RGB"), dtype=np.uint8)
-        return self._cache[i]
+        arr = self._cache.get(i)
+        if arr is None:
+            with self._lock:  # seek/convert mutate the shared PIL handle
+                arr = self._cache.get(i)
+                if arr is None:
+                    self._img.seek(i)
+                    arr = np.asarray(self._img.convert("RGB"), dtype=np.uint8)
+                    self._cache[i] = arr
+        return arr
 
     def read_region(self, location, level, size) -> np.ndarray:
         x0, y0 = int(location[0]), int(location[1])
         w, h = int(size[0]), int(size[1])
         ds = self.level_downsamples[level]
         lx, ly = int(x0 / ds), int(y0 / ds)
-        arr = self._level(level)
-        out = np.full((h, w, 3), 255, np.uint8)
-        sy0, sy1 = max(ly, 0), min(ly + h, arr.shape[0])
-        sx0, sx1 = max(lx, 0), min(lx + w, arr.shape[1])
-        if sy1 > sy0 and sx1 > sx0:
-            out[sy0 - ly : sy1 - ly, sx0 - lx : sx1 - lx] = arr[sy0:sy1, sx0:sx1]
-        return out
+        return _crop_pad_white(self._level(level), lx, ly, w, h)
 
     def close(self) -> None:
-        self._img.close()
-        self._cache.clear()
+        with self._lock:
+            self._img.close()
+            self._cache.clear()
 
 
 class ReaderCache:

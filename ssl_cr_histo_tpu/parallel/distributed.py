@@ -48,15 +48,27 @@ def initialize(
         if coordinator_address is None:
             return
     try:
+        # Already initialized (e.g. two CLI mains in one process) — keep the
+        # existing service.  Checked via jax's own distributed state because
+        # the RuntimeError wording varies by version AND by whether the XLA
+        # backend was touched first ("should only be called once" vs "must
+        # be called before any JAX calls"), and the latter text is shared
+        # with a genuine too-late first call that must still raise.
+        from jax._src.distributed import global_state as _gs
+
+        if _gs.client is not None:
+            return
+    except ImportError:  # pragma: no cover - private API moved
+        pass
+    try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
     except RuntimeError as e:
-        # Already initialized (e.g. two CLI mains in one process) — keep the
-        # existing service.
-        if "already initialized" not in str(e).lower():
+        msg = str(e).lower()
+        if "already initialized" not in msg and "only be called once" not in msg:
             raise
 
 

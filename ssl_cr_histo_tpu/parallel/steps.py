@@ -268,7 +268,8 @@ def make_pretrain_multi_step(
     return multi
 
 
-def make_pretrain_eval_step(model, classifier, mean=aug_batch.DEFAULT_MEAN, std=aug_batch.DEFAULT_STD):
+def make_pretrain_eval_step(model, classifier, mean=aug_batch.DEFAULT_MEAN,
+                            std=aug_batch.DEFAULT_STD, return_feats=False):
     """Validation step: no augmentation, running BN stats; every triplet is
     evaluated under ALL 6 resolution-sequence orderings, matching the
     reference's eagerly x6-expanded validation dataset (dataset.py:27-70 +
@@ -278,7 +279,10 @@ def make_pretrain_eval_step(model, classifier, mean=aug_batch.DEFAULT_MEAN, std=
     valid: float/bool (B,) mask for host-side padding of the final partial
     batch (padded rows contribute zero weight).  Returns weighted SUMS
     ('loss_sum', 'correct', 'count') for exact averaging over ragged
-    batches, plus 'feats' (6, B, 768) per-ordering features for t-SNE.
+    batches; with ``return_feats`` also 'feats' (6, B, 768) per-ordering
+    features — only the --tsne dump reads them, so the per-epoch val loop
+    keeps the default and never materializes the tensor (jitted outputs are
+    not dead-code-eliminated by the caller ignoring them).
     """
 
     @jax.jit
@@ -295,15 +299,18 @@ def make_pretrain_eval_step(model, classifier, mean=aug_batch.DEFAULT_MEAN, std=
             labels = jnp.full((b,), label, jnp.int32)
             losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
             correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
-            return jnp.sum(losses * w), jnp.sum(correct * w), feats
+            out = (jnp.sum(losses * w), jnp.sum(correct * w))
+            return out + ((feats,) if return_feats else ())
 
-        loss_sums, corrects, feats = jax.lax.map(eval_ordering, jnp.arange(6))
-        return {
-            "loss_sum": jnp.sum(loss_sums),
-            "correct": jnp.sum(corrects),
+        outs = jax.lax.map(eval_ordering, jnp.arange(6))
+        metrics = {
+            "loss_sum": jnp.sum(outs[0]),
+            "correct": jnp.sum(outs[1]),
             "count": 6.0 * jnp.sum(w),
-            "feats": feats,
         }
+        if return_feats:
+            metrics["feats"] = outs[2]
+        return metrics
 
     return step
 

@@ -474,6 +474,36 @@ def test_pil_tiff_pyramid_reader(tmp_path):
     assert trip.shape == (3, 32, 32, 3)
 
 
+def test_pil_tiff_reader_shared_across_threads(tmp_path):
+    """One PILTiffReader shared by a thread pool (the heatmap serving
+    pipeline's usage) must produce the same patches as serial reads — the
+    shared PIL handle's page decodes are lock-protected."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    from ssl_cr_histo_tpu.data.wsi import PILTiffReader
+
+    rng = np.random.default_rng(1)
+    level0 = (rng.random((512, 512, 3)) * 255).astype(np.uint8)
+    pages = [Image.fromarray(level0), Image.fromarray(level0[::2, ::2])]
+    path = tmp_path / "shared.tif"
+    pages[0].save(str(path), save_all=True, append_images=pages[1:])
+
+    locs = [(int(x), int(y)) for x, y in rng.integers(0, 448, (64, 2))]
+
+    def read_all(reader, pool=None):
+        f = lambda loc: reader.read_region(loc, 0, (64, 64))
+        return list(pool.map(f, locs)) if pool else [f(l) for l in locs]
+
+    serial = read_all(PILTiffReader(str(path)))
+    shared = PILTiffReader(str(path))  # cold cache: threads race the decode
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        concurrent = read_all(shared, pool)
+    for a, b in zip(serial, concurrent):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_lazy_kather_dataset(tmp_path):
     import cv2
 

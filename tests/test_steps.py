@@ -63,7 +63,7 @@ def test_pretrain_eval_x6_semantics(toy_batch):
     clf = Classifier(num_classes=6)
     tx = optim.adam(1e-3)
     state = init_triplet_state(model, clf, tx, jax.random.PRNGKey(0), image_size=IMG)
-    step = S.make_pretrain_eval_step(model, clf)
+    step = S.make_pretrain_eval_step(model, clf, return_feats=True)
 
     tiles = jnp.asarray(toy_batch[:4])
     valid = jnp.array([1.0, 1.0, 1.0, 0.0])
@@ -71,6 +71,11 @@ def test_pretrain_eval_x6_semantics(toy_batch):
     assert float(m["count"]) == 6 * 3
     assert np.isfinite(float(m["loss_sum"]))
     assert m["feats"].shape == (6, 4, 768)
+    # the default (per-epoch val loop) variant omits the t-SNE features
+    m_light = S.make_pretrain_eval_step(model, clf)(state, tiles, valid)
+    assert "feats" not in m_light
+    np.testing.assert_allclose(float(m_light["loss_sum"]), float(m["loss_sum"]),
+                               rtol=1e-5)
 
     # padding-invariance: garbage in the masked row must not change the sums
     tiles_g = tiles.at[3].set(255)
