@@ -116,16 +116,25 @@ def main():
         with open(path) as f:
             baseline = float(json.load(f)["reference_aug_patches_per_sec"])
 
-    print(
-        json.dumps(
-            {
-                "metric": r["metric"],
-                "value": value,
-                "unit": r["unit"],
-                "vs_baseline": round(value / baseline, 2),
-            }
-        )
-    )
+    out = {
+        "metric": r["metric"],
+        "value": value,
+        "unit": r["unit"],
+        "vs_baseline": round(value / baseline, 2),
+    }
+    # Regression visibility: also report the delta vs the COMMITTED
+    # BENCH_SUITE.json pretrain figure (tools/bench_suite.py guard-bands the
+    # full suite; this surfaces the same signal on the driver's one line).
+    suite = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SUITE.json")
+    if os.path.exists(suite):
+        with open(suite) as f:
+            committed = {e["metric"]: e["value"]
+                         for e in json.load(f).get("results", [])}
+        if committed.get(r["metric"]):
+            out["vs_committed"] = round(value / committed[r["metric"]], 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

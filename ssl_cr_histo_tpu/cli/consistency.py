@@ -20,6 +20,7 @@ from ssl_cr_histo_tpu.cli.common import (
     chunked_feed,
     TASKS,
     add_common_args,
+    apply_reference_exact,
     apply_task_overrides,
     balanced_epoch_len,
     make_optimizer,
@@ -108,6 +109,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    apply_reference_exact(args, "consistency")
     cfg = apply_task_overrides(args, TASKS[args.task])
     key = seed_everything(args.seed)
     # CR stage batch defaults differ from the SSL stage's (reference

@@ -16,6 +16,7 @@ from ssl_cr_histo_tpu.cli.common import (
     chunked_feed,
     TASKS,
     add_common_args,
+    apply_reference_exact,
     apply_task_overrides,
     balanced_epoch_len,
     make_optimizer,
@@ -159,6 +160,7 @@ def build_state(args, cfg, key):
 
 def main(argv=None):
     args = parse_args(argv)
+    apply_reference_exact(args, "finetune")
     cfg = apply_task_overrides(args, TASKS[args.task])
     key = seed_everything(args.seed)
     batch_size = args.batch_size or cfg.batch_size

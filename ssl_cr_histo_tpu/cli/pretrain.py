@@ -23,6 +23,7 @@ import numpy as np
 
 from ssl_cr_histo_tpu.cli.common import (
     add_common_args,
+    apply_reference_exact,
     chunked_feed,
     model_dtype,
     resolve_photometric,
@@ -122,6 +123,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    apply_reference_exact(args, "pretrain")
     if args.image_size:
         # the common --image_size override maps onto the tile geometry here
         # (pretraining has no TaskConfig; tiles ARE the input resolution)

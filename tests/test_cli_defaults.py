@@ -98,3 +98,85 @@ def test_slow_tier_collection_profiles():
     # an explicit -m expression wins over the default filter
     tail = collect("tests/test_quality_gate.py", "-m", "not slow")
     assert "no tests ran" in tail or "2 deselected" in tail, tail
+
+
+def test_reference_exact_preset_resolves():
+    """`--reference_exact` flips every ledgered deviation default in one
+    flag (round-4 VERDICT #2: strict-parity configuration must not require
+    reassembling ~6 remembered flags from two docs)."""
+    from ssl_cr_histo_tpu.cli.common import apply_reference_exact
+
+    a = apply_reference_exact(
+        pretrain.parse_args(["--train_image_pth", "x", "--reference_exact"]),
+        "pretrain")
+    assert a.joint_encode is False        # per-view BN statistics
+    assert a.expand_orderings is True     # eager x6 orderings (dataset.py:27-70)
+    assert a.aug_mode == "exact" and a.photometric == "xla"
+    assert a.bf16 is False                # reference trains f32
+
+    a = apply_reference_exact(
+        finetune.parse_args(["--task", "kather", "--reference_exact"]),
+        "finetune")
+    assert a.with_replacement is True     # eval_BreastPathQ_SSL.py:299
+    assert a.aug_mode == "exact" and a.bf16 is False
+
+    a = apply_reference_exact(
+        consistency.parse_args(["--task", "camelyon16", "--reference_exact"]),
+        "consistency")
+    assert a.with_replacement is True     # eval_Camelyon_SSL_CR.py:318-319
+    assert a.aug_mode == "exact" and a.photometric == "xla"
+    assert a.bf16 is False
+
+    # the preset overrides individually-passed deviation flags (strictness
+    # must not depend on flag order or memory)
+    a = apply_reference_exact(
+        pretrain.parse_args(
+            ["--train_image_pth", "x", "--reference_exact", "--joint_encode"]),
+        "pretrain")
+    assert a.joint_encode is False
+
+    # without the flag, nothing moves (shipped throughput defaults intact)
+    a = apply_reference_exact(
+        pretrain.parse_args(["--train_image_pth", "x"]), "pretrain")
+    assert a.joint_encode is True and a.aug_mode == "fused" and a.bf16 is True
+
+
+def test_reference_exact_preset_covers_documented_deviation_flags():
+    """Cross-check the preset against the deviation LEDGER (PARITY.md +
+    docs/MIGRATION.md): every flag the docs describe as restoring reference
+    behavior must be in REFERENCE_EXACT_PRESET — a future deviation cannot
+    be ledgered without joining the preset."""
+    import os
+    import re
+
+    from ssl_cr_histo_tpu.cli.common import REFERENCE_EXACT_PRESET
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = ""
+    for doc in ("PARITY.md", os.path.join("docs", "MIGRATION.md")):
+        with open(os.path.join(repo, doc)) as f:
+            text += f.read()
+
+    # flags immediately followed by restore-the-reference language (the
+    # window must not cross into the NEXT --flag's own description)
+    found = set(re.findall(
+        r"--([a-z_]+)`?(?:(?!--)[^.|]){0,60}?(?:restores|strict|reproduce)",
+        text))
+    assert found, "ledger scan matched nothing — docs reworded? fix the regex"
+
+    preset_dests = set()
+    for table in REFERENCE_EXACT_PRESET.values():
+        preset_dests |= set(table)
+    # store_false aliases: the DOC flag vs the argparse dest it drives
+    aliases = {"no_joint_encode": "joint_encode"}
+    # documented exclusions (rationale in common.REFERENCE_EXACT_PRESET):
+    #   seed — RNG parity with torch is impossible regardless of seed value
+    excluded = {"seed"}
+
+    uncovered = {
+        f for f in found - excluded
+        if aliases.get(f, f) not in preset_dests
+    }
+    assert not uncovered, (
+        f"deviation flags documented as restoring reference behavior but "
+        f"missing from REFERENCE_EXACT_PRESET: {sorted(uncovered)}")

@@ -98,3 +98,39 @@ def test_two_process_distributed_smoke(tmp_path):
     # exactly one process (the primary) wrote the CSV
     lines = (tmp_path / "log.csv").read_text().strip().splitlines()
     assert lines == ["a,b", "1,2.000000"]
+
+
+def test_multihost_pjit_step_matches_single_process(tmp_path):
+    """A pjit train step on a mesh that SPANS PROCESSES (2 controllers x 4
+    virtual CPU devices each, wired by ``jax.distributed``) computes the
+    same pretrain and consistency losses as the single-process 8-device
+    mesh — the multi-host pod path every CLI advertises via
+    ``distributed.initialize()`` (SURVEY §2.2 DP row; reference equivalent
+    is single-process DataParallel, pretrain_BreastPathQ.py:231-233).
+
+    Exactness ledger: WITHIN the pod, ``dryrun_multihost`` already asserts
+    all processes produced bit-identical losses (same executable, same
+    collectives).  ACROSS topologies the 8-way loss/grad all-reduce is cut
+    differently (intra-process tree vs hierarchical cross-process), so the
+    sums differ by float32 ordering noise — measured ~1e-6 relative; a
+    wrong batch shard or mesh layout would miss by >1e-1."""
+    import numpy as np
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as g
+    from ssl_cr_histo_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices())  # conftest: 8 virtual CPU devices
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P("data"))
+    single = g.pod_case_losses(
+        mesh,
+        lambda arr: jax.device_put(np.asarray(arr), dat),
+        lambda tree: jax.device_put(tree, rep),
+    )
+    multi = g.dryrun_multihost(2, 4, out_path=str(tmp_path / "losses"))
+    for k in ("pretrain_loss", "consistency_loss"):
+        s, m = float.fromhex(single[k]), float.fromhex(multi[k])
+        np.testing.assert_allclose(m, s, rtol=1e-5, err_msg=k)
