@@ -302,17 +302,19 @@ def _forward_batches(state, forward, it, batch_size, sharding=None):
     H2D copy overlaps compute, and yield (logits[:n], payload)."""
     from ssl_cr_histo_tpu.data.pipeline import prefetch_iter
 
+    from ssl_cr_histo_tpu.parallel.distributed import fetch_global, put_sharded
+
     def prep(item):
         imgs, payload = item
         n = len(imgs)
         pad = batch_size - n
         if pad:
             imgs = np.concatenate([imgs, np.zeros_like(imgs[:1].repeat(pad, 0))])
-        x = jax.device_put(imgs, sharding) if sharding is not None else jnp.asarray(imgs)
+        x = put_sharded(imgs, sharding) if sharding is not None else jnp.asarray(imgs)
         return x, n, payload
 
     for x, n, payload in prefetch_iter(it, size=2, map_fn=prep):
-        yield np.asarray(forward(state, x))[:n], payload
+        yield fetch_global(forward(state, x))[:n], payload
 
 
 def validate(cfg, state, val, forward, batch_size, sharding=None):

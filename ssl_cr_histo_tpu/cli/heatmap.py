@@ -67,9 +67,18 @@ def main(argv=None):
     mesh = mesh_for_batch(args.batch_size)
     sharding = batch_sharding(mesh)
 
+    from ssl_cr_histo_tpu.parallel.distributed import fetch_global, put_sharded
+
     def forward_sharded(patches):
         # patches arrive pre-transferred by the prefetch thread (put_fn)
-        return forward(state, patches)
+        out = forward(state, patches)
+        if jax.process_count() == 1:
+            # return the DEVICE array: the serving loop defers the fetch one
+            # batch (3-deep pipeline, eval/heatmap.py)
+            return out
+        # pod: a data-sharded output is not host-visible from one process —
+        # allgather now (costs the deferred fetch; correctness over depth)
+        return fetch_global(out)
 
     wsipaths = []
     for ext in ("tif", "svs", "npy"):
@@ -91,10 +100,13 @@ def main(argv=None):
             forward_sharded,
             image_size=args.image_size,
             batch_size=args.batch_size,
-            put_fn=lambda p: jax.device_put(p, sharding),
+            put_fn=lambda p: put_sharded(p, sharding),
         )
-        save_heatmap_artifacts(probs_map, args.probs_map_path, wsi_id)
-        print(f"==> wrote {args.probs_map_path}/{wsi_id}*")
+        from ssl_cr_histo_tpu.parallel.distributed import is_primary
+
+        if is_primary():  # every pod process holds the full gathered map
+            save_heatmap_artifacts(probs_map, args.probs_map_path, wsi_id)
+            print(f"==> wrote {args.probs_map_path}/{wsi_id}*")
 
 
 if __name__ == "__main__":

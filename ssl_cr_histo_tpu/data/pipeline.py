@@ -125,10 +125,12 @@ def prefetch_to_device(
     """
 
     def put_leaf(x, sh):
-        if sh is None:
-            return jax.device_put(x)
+        from ssl_cr_histo_tpu.parallel.distributed import put_sharded
+
         try:
-            return jax.device_put(x, sh)
+            # topology-transparent: plain device_put single-process, per-host
+            # shard contribution when the sharding spans processes
+            return put_sharded(x, sh)
         except ValueError as e:
             raise ValueError(
                 f"batch with shape {np.shape(x)} is not shardable over "

@@ -461,7 +461,37 @@ def random_crop(img: jnp.ndarray, key: jax.Array, crop_h: int, crop_w: int) -> j
     return jax.lax.dynamic_slice(img, (y0, x0, 0), (crop_h, crop_w, c))
 
 
+def _cv2_linear_weights(n_in: int, n_out: int) -> np.ndarray:
+    """Static 1-D cv2.INTER_LINEAR weight matrix (n_out, n_in): half-pixel
+    mapping src = (dst+0.5)*n_in/n_out - 0.5, two taps, edge clamp."""
+    dst = np.arange(n_out, dtype=np.float64)
+    src = (dst + 0.5) * (n_in / n_out) - 0.5
+    i0 = np.floor(src).astype(int)
+    frac = (src - i0).astype(np.float32)
+    w = np.zeros((n_out, n_in), np.float32)
+    rows = np.arange(n_out)
+    np.add.at(w, (rows, np.clip(i0, 0, n_in - 1)), 1.0 - frac)
+    np.add.at(w, (rows, np.clip(i0 + 1, 0, n_in - 1)), frac)
+    return w
+
+
 def resize(img: jnp.ndarray, out_h: int, out_w: int, method: str = "bilinear") -> jnp.ndarray:
-    """Resize trailing (H, W, C) dims."""
-    shape = (*img.shape[:-3], out_h, out_w, img.shape[-1])
-    return jax.image.resize(img.astype(jnp.float32), shape, method=method)
+    """Resize trailing (H, W, C) dims.
+
+    ``bilinear`` is cv2.INTER_LINEAR-exact (the oracle for albumentations'
+    Resize, reference models/randaugment.py:67-68): two static 2-tap weight
+    matmuls (MXU-friendly, weights folded at trace time).  NOT
+    ``jax.image.resize``, whose 'linear' anti-aliases on DOWNSCALE with a
+    scale-aware kernel — the magnitude sweep measured a 0.23 max divergence
+    from cv2 at 2x downscale (tests/test_ops_geometry.py); upscale taps are
+    identical either way.  Other methods delegate to jax.image.resize."""
+    if method != "bilinear":
+        shape = (*img.shape[:-3], out_h, out_w, img.shape[-1])
+        return jax.image.resize(img.astype(jnp.float32), shape, method=method)
+    x = img.astype(jnp.float32)
+    h, w = img.shape[-3], img.shape[-2]
+    if out_h != h:
+        x = jnp.einsum("oh,...hwc->...owc", jnp.asarray(_cv2_linear_weights(h, out_h)), x)
+    if out_w != w:
+        x = jnp.einsum("ow,...hwc->...hoc", jnp.asarray(_cv2_linear_weights(w, out_w)), x)
+    return x

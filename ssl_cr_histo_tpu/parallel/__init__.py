@@ -9,3 +9,7 @@ from ssl_cr_histo_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from ssl_cr_histo_tpu.parallel.distributed import (  # noqa: F401
+    fetch_global,
+    put_sharded,
+)

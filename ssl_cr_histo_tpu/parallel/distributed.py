@@ -83,3 +83,45 @@ def is_primary() -> bool:
     import jax
 
     return jax.process_index() == 0
+
+
+def put_sharded(x, sharding):
+    """``jax.device_put`` that also works when ``sharding`` spans processes.
+
+    The CLIs' feed model is host-replicated data: every process loads the
+    same dataset and draws identical seeded shuffles, so each host holds
+    the FULL global batch.  Single-process this is a plain sharded
+    device_put; on a pod each process contributes only its addressable
+    shards of the same array (``jax.make_array_from_callback`` slices the
+    host copy per local device).  This is the one primitive that makes the
+    train/eval/heatmap feed paths topology-transparent (SURVEY §2.2 DP:
+    multi-host via jax.distributed; the reference's DataParallel has no
+    equivalent)."""
+    import jax
+
+    if sharding is None:
+        return jax.device_put(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    import numpy as np
+
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
+def fetch_global(x):
+    """Device->host fetch of a possibly cross-process array.
+
+    Single-process (or fully-addressable / fully-replicated arrays):
+    ``np.asarray``.  On a pod, a data-sharded output (e.g. eval logits) is
+    not addressable from one host — allgather it so EVERY host returns the
+    complete value (jax.experimental.multihost_utils; the metrics/reporting
+    code downstream is then identical on every topology)."""
+    import numpy as np
+
+    try:
+        return np.asarray(x)
+    except Exception:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
