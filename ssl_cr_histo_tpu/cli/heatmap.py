@@ -15,7 +15,12 @@ import os
 import jax
 import numpy as np
 
-from ssl_cr_histo_tpu.cli.common import add_common_args, model_dtype, seed_everything
+from ssl_cr_histo_tpu.cli.common import (
+    add_common_args,
+    apply_reference_exact,
+    model_dtype,
+    seed_everything,
+)
 from ssl_cr_histo_tpu.data.wsi import open_slide
 from ssl_cr_histo_tpu.eval.heatmap import (
     compute_probs_map,
@@ -44,6 +49,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    # only the "common" overrides apply here (f32 compute; no aug in this
+    # CLI) — but the flag must not be a silently-ignored no-op
+    apply_reference_exact(args, "heatmap")
     args.image_size = args.image_size or 256
     seed_everything(args.seed)
 

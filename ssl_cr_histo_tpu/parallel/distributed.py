@@ -119,9 +119,12 @@ def fetch_global(x):
     code downstream is then identical on every topology)."""
     import numpy as np
 
-    try:
+    # Branch on addressability, not on np.asarray failure: a bare except
+    # here would reroute real errors (deleted/donated buffers, leaked
+    # tracers) into a confusing allgather failure.  Non-jax inputs (numpy,
+    # lists) have no such attribute and are host values already.
+    if getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
-    except Exception:
-        from jax.experimental import multihost_utils
+    from jax.experimental import multihost_utils
 
-        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -127,6 +127,21 @@ def test_reference_exact_preset_resolves():
     assert a.aug_mode == "exact" and a.photometric == "xla"
     assert a.bf16 is False
 
+    # every add_common_args consumer resolves the flag — heatmap included
+    # (a CLI that advertises --reference_exact in --help but ignores it
+    # would produce bf16 maps in a parity review, silently)
+    from ssl_cr_histo_tpu.cli import heatmap
+
+    a = apply_reference_exact(
+        heatmap.parse_args(["--test_image_pth", "x", "--test_mask_pth", "x",
+                            "--probs_map_path", "x", "--finetune_ckpt", "x",
+                            "--reference_exact"]),
+        "heatmap")
+    assert a.bf16 is False
+    import inspect
+
+    assert "apply_reference_exact" in inspect.getsource(heatmap.main)
+
     # the preset overrides individually-passed deviation flags (strictness
     # must not depend on flag order or memory)
     a = apply_reference_exact(

@@ -41,6 +41,14 @@ def test_render_table_with_and_without_reference():
     # ssl row: deltas |0.81-0.84|, |0.70-0.72| -> max 0.03; missing ref
     # metrics (mse) contribute nothing
     assert "0.0300" in t
+
+    # keys match NUMERICALLY: the natural "1.0" JSON key must pair with
+    # fraction 1.0 even though %g renders it "1" (string lookup would
+    # silently drop the 100%-labeled reference columns)
+    rows_full = [{"fraction": 1.0, "ssl": {"tau_MA": 0.70}}]
+    t = pr.render_table("breastpathq", rows_full,
+                        {"1.0": {"ssl": {"tau_MA": 0.75}}})
+    assert "0.75" in t and "0.0500" in t
     # dotted-path dig into the ICC variant table
     assert pr._dig({"icc_MA": {"ICC2": 0.5}}, "icc_MA.ICC2") == 0.5
     assert pr._dig({"icc_MA": {}}, "icc_MA.ICC2") is None

@@ -86,7 +86,10 @@ def _eval_metrics(task, args, ckpt, save_dir, extra):
     headline slice of the stage's <task>_eval.json."""
     from ssl_cr_histo_tpu.cli import finetune
 
-    argv = ["--task", task, "--mode", "evaluation",
+    # evaluation must run under the SAME strict preset as training — the
+    # default bf16 eval forward (~3 significant decimal digits) would bury
+    # the 4-decimal parity deltas in eval-precision noise
+    argv = ["--task", task, "--mode", "evaluation", "--reference_exact",
             "--test_path", args.test_path,
             "--finetune_ckpt", ckpt, "--save_dir", save_dir,
             "--eval_batch_size", str(args.eval_batch_size), *extra]
@@ -159,6 +162,10 @@ def render_table(task, rows, reference):
     metrics = HEADLINE[task]
     head = ["fraction", "stage"] + metrics
     if reference:
+        # normalize keys numerically: the user's JSON naturally says "1.0"
+        # while %g formatting of the fraction yields "1" — a string lookup
+        # would silently drop the reference columns for that row
+        reference = {float(k): v for k, v in reference.items()}
         head += [f"ref_{m}" for m in metrics] + ["max_abs_delta"]
     lines = ["| " + " | ".join(head) + " |",
              "|" + "---|" * len(head)]
@@ -169,7 +176,7 @@ def render_table(task, rows, reference):
             cells = [f"{row['fraction']:g}", stage.upper()]
             cells += [str(row[stage].get(m, "—")) for m in metrics]
             if reference:
-                ref = (reference.get(f"{row['fraction']:g}") or {}).get(stage, {})
+                ref = (reference.get(float(row["fraction"])) or {}).get(stage, {})
                 deltas = []
                 for m in metrics:
                     r = _dig(ref, m)
